@@ -1,0 +1,194 @@
+"""Deterministic synthetic image+caption corpus (FIXTURES.md §5).
+
+Every field is a pure function of ``(seed, i)`` so the same table can be
+built driver-side (pandas, for unit tests) or distributed
+(``spark.range(n).mapInPandas``, for benchmarks) with identical bytes.
+
+Schema (BASELINE.json input_hint):
+    image_id:string, bytes:binary, w:int, h:int, fmt:string,
+    caption:string, phash:long
+
+Planted duplicate classes, per block of 10 consecutive indices
+(block b = indices 10b..10b+9):
+    role 0-5: distinct base rows
+    role 6:   EXACT dup of role 0      (byte-identical bytes + caption)
+    role 7:   RE-ENCODE of role 1      (lossy re-encode, PSNR>=40, same caption)
+    role 8:   CAPTION-NEAR of role 2   (same image, paraphrased caption,
+                                        shingle Jaccard >= ~0.8)
+    role 9:   SUBSTRING of role 3      (long caption containing role 3's
+                                        caption verbatim; same image)
+
+Golden sidecar ``expected_clusters(seed, n)`` gives (image_id,
+cluster_id = min image_id of the planted clique) — the oracle for
+dup-pair recall >= 0.99 (reference golden pattern: DeduperTest.kt:46-83).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from deduper_spark.functions.phash import decode_image, encode_image, phash64
+
+IMG = 64          # base image side (pixels)
+BLOCK = 10
+
+_VOCAB = [
+    # deterministic ~160-word vocabulary for captions
+    "sunset", "mountain", "river", "forest", "city", "skyline", "bridge",
+    "ancient", "modern", "colorful", "quiet", "bustling", "snowy", "golden",
+    "harbor", "lighthouse", "meadow", "valley", "canyon", "desert", "island",
+    "beach", "wave", "cloud", "storm", "rainbow", "mist", "dawn", "dusk",
+    "street", "market", "temple", "castle", "garden", "fountain", "plaza",
+    "cat", "dog", "horse", "bird", "deer", "fox", "whale", "eagle", "owl",
+    "red", "blue", "green", "amber", "violet", "crimson", "teal", "ivory",
+    "stone", "wooden", "glass", "steel", "brick", "marble", "copper",
+    "small", "large", "tiny", "vast", "narrow", "wide", "tall", "deep",
+    "photo", "view", "scene", "landscape", "portrait", "closeup", "aerial",
+    "under", "over", "beside", "between", "behind", "near", "along",
+    "winter", "summer", "autumn", "spring", "morning", "evening", "night",
+    "rain", "snow", "fog", "wind", "sunlight", "moonlight", "shadow",
+    "path", "trail", "road", "railway", "tunnel", "gate", "tower", "dome",
+    "lake", "pond", "waterfall", "glacier", "cliff", "dune", "reef",
+    "flower", "tree", "grass", "moss", "fern", "pine", "oak", "maple",
+    "old", "new", "rustic", "sleek", "ornate", "plain", "vivid", "pale",
+    "festival", "parade", "ceremony", "concert", "museum", "gallery",
+    "boat", "ship", "train", "bicycle", "carriage", "tram", "ferry",
+    "child", "artist", "farmer", "sailor", "dancer", "musician", "crowd",
+    "reflection", "silhouette", "panorama", "texture", "pattern", "detail",
+    "hill", "field", "orchard", "vineyard", "farm", "barn", "mill",
+    "crystal", "frozen", "burning", "floating", "hidden", "distant",
+]
+
+
+def _base_index(i: int) -> tuple[int, str]:
+    """Map index → (index of the base row it duplicates, dup class)."""
+    b, r = divmod(i, BLOCK)
+    if r == 6:
+        return b * BLOCK + 0, "exact"
+    if r == 7:
+        return b * BLOCK + 1, "reencode"
+    if r == 8:
+        return b * BLOCK + 2, "caption_near"
+    if r == 9:
+        return b * BLOCK + 3, "substring"
+    return i, "base"
+
+
+def _rng(seed: int, base_i: int, tag: int) -> np.random.Generator:
+    return np.random.default_rng([seed, base_i, tag])
+
+
+def _pixels(seed: int, base_i: int) -> np.ndarray:
+    rng = _rng(seed, base_i, 0)
+    # low-frequency random pattern: 8x8 upsampled x8 so phash separates
+    # distinct images while staying stable under mild quantization
+    coarse = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    return np.kron(coarse, np.ones((IMG // 8, IMG // 8, 1), dtype=np.uint8))
+
+
+def _caption_tokens(seed: int, base_i: int) -> list[str]:
+    rng = _rng(seed, base_i, 1)
+    n_tok = int(rng.integers(14, 31))
+    idx = rng.integers(0, len(_VOCAB), size=n_tok)
+    return [_VOCAB[j] for j in idx]
+
+
+def make_row(seed: int, i: int) -> dict:
+    base_i, klass = _base_index(i)
+    pixels = _pixels(seed, base_i)
+    tokens = _caption_tokens(seed, base_i)
+
+    if klass == "reencode":
+        buf = encode_image(pixels, lossy=True)
+        fmt = "jpeg"
+        pixels_dec = decode_image(buf)
+        ph = phash64(pixels_dec)
+        caption = " ".join(tokens)
+    elif klass == "caption_near":
+        buf = encode_image(pixels, lossy=False)
+        fmt = "png"
+        ph = phash64(pixels)
+        extra = _caption_tokens(seed, i)[:2]
+        caption = " ".join(tokens + extra)          # append → high Jaccard
+    elif klass == "substring":
+        buf = encode_image(pixels, lossy=False)
+        fmt = "png"
+        ph = phash64(pixels)
+        pre = _caption_tokens(seed, i)[:6]
+        post = _caption_tokens(seed, i)[6:12]
+        caption = " ".join(pre) + " " + " ".join(tokens) + " " + " ".join(post)
+    else:  # base / exact
+        buf = encode_image(pixels, lossy=False)
+        fmt = "png"
+        ph = phash64(pixels)
+        caption = " ".join(tokens)
+
+    return {
+        "image_id": f"img{i:09d}",
+        "bytes": buf,
+        "w": IMG,
+        "h": IMG,
+        "fmt": fmt,
+        "caption": caption,
+        "phash": ph,
+    }
+
+
+def make_pdf(seed: int, n: int, start: int = 0) -> pd.DataFrame:
+    rows = [make_row(seed, i) for i in range(start, start + n)]
+    df = pd.DataFrame(rows)
+    df["w"] = df["w"].astype("int32")
+    df["h"] = df["h"].astype("int32")
+    df["phash"] = df["phash"].astype("int64")
+    return df
+
+
+SPARK_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def make_df(spark, seed: int, n: int, partitions: int | None = None):
+    """Distributed generation: spark.range → mapInPandas(make_row).
+
+    This is how the bench input is produced — the generator itself
+    scales with the cluster instead of bottlenecking on the driver.
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 2000):
+                ids = pdf["id"].iloc[lo : lo + 2000]
+                yield pd.DataFrame([make_row(seed, int(i)) for i in ids])
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema=SPARK_SCHEMA)
+    )
+
+
+def expected_clusters(seed: int, n: int) -> pd.DataFrame:
+    """Golden sidecar: (image_id, cluster_id = min image_id of clique)."""
+    rows = []
+    for i in range(n):
+        base_i, _ = _base_index(i)
+        cluster_base = base_i if base_i < n else i
+        rows.append(
+            {"image_id": f"img{i:09d}", "cluster_id": f"img{cluster_base:09d}"}
+        )
+    return pd.DataFrame(rows)
+
+
+def expected_dup_pairs(seed: int, n: int) -> set[tuple[str, str]]:
+    """All intra-clique pairs (id_l < id_r) — recall denominator."""
+    cl = expected_clusters(seed, n)
+    pairs: set[tuple[str, str]] = set()
+    for _, grp in cl.groupby("cluster_id"):
+        ids = sorted(grp["image_id"])
+        for a in range(len(ids)):
+            for b in range(a + 1, len(ids)):
+                pairs.add((ids[a], ids[b]))
+    return pairs
