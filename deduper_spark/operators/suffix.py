@@ -1,0 +1,64 @@
+"""Exact-substring containment pass.
+
+Catches the dup class MinHash misses at low containment: a long
+caption that contains another row's full caption verbatim (Jaccard of
+the pair can be ~0.3 while containment is 1.0). Mirrors the
+reference's exact-key vs fuzzy-key dual-mode framing
+(reference README.md dual framing; BASELINE.json north_star
+"suffix-array substring pass").
+
+Scale design — anchor-shingle containment join (the distributed
+equivalent of a suffix-array lookup; a global suffix array over 100 TB
+of text is not a Spark-shaped structure, an inverted anchor index is):
+  * if caption A occurs inside caption B, then EVERY k-shingle of A
+    is a k-shingle of B — in particular A's first shingle;
+  * so: index B-side by exploded shingle hash, join A-side on its
+    anchor (first-shingle hash), then confirm with a JVM-side
+    `contains(B.caption, A.caption)` — exact, no false positives;
+  * the anchor join is hash-partitioned on the shingle hash; hot
+    anchors (stop-phrases) are capped exactly like LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def containment_pairs(
+    feats: DataFrame,
+    max_anchor_bucket: int = 1000,
+) -> DataFrame:
+    """feats: (id, norm_caption: string, shingle_hashes: array<long>).
+
+    Returns (id_l, id_r, families=['substring']) for pairs where one
+    normalized caption contains the other (strictly different ids;
+    equal captions are the exact path's job but are caught here too).
+    """
+    contained = feats.select(
+        F.col("id").alias("c_id"),
+        F.col("norm_caption").alias("c_caption"),
+        F.element_at("shingle_hashes", 1).alias("anchor"),
+    )
+    container = feats.select(
+        F.col("id").alias("t_id"),
+        F.col("norm_caption").alias("t_caption"),
+        F.explode("shingle_hashes").alias("anchor"),
+    )
+
+    sizes = container.groupBy("anchor").agg(F.count("*").alias("n"))
+    admitted = sizes.where(F.col("n") <= max_anchor_bucket).select("anchor")
+    container = container.join(admitted, "anchor", "left_semi")
+
+    hits = (
+        contained.join(container, "anchor")
+        .where(F.col("c_id") != F.col("t_id"))
+        .where(F.col("t_caption").contains(F.col("c_caption")))
+        .select(
+            F.least("c_id", "t_id").alias("id_l"),
+            F.greatest("c_id", "t_id").alias("id_r"),
+        )
+        .distinct()
+        .withColumn("families", F.array(F.lit("substring")))
+    )
+    return hits

@@ -1,0 +1,313 @@
+"""DedupPipeline — the end-to-end near-duplicate detection & clustering DAG.
+
+Lifecycle (Spark-first equivalent of Deduper.dedupe, Deduper.kt:429-549):
+    features → signatures → LSH candidates → verification →
+    connected components → clusters / survivors / ledger / report
+
+Every stage is optionally checkpointed to parquet under
+``checkpoint_dir/run_id/<stage>`` (Iceberg tables on a real cluster)
+with per-stage + per-partition metrics, so a rerun resumes after the
+last completed stage — the distributed generalization of the
+reference's cross-run hash ledger (Deduper.kt:135-158).
+
+Shuffle inventory at scale (the plan you'd want on 1000 executors):
+  * features: narrow (projection + Arrow UDFs) — zero shuffle;
+  * each LSH family: one groupBy(bucket) sizing pass + one co-located
+    self-join shuffle on (band, bucket), AQE skew-split;
+  * verification: joins pair-side (small) to features hash-partitioned
+    on id; the binary `bytes` column is projected ONLY into the PSNR
+    pair join;
+  * CC: O(cluster diameter) rounds, each one shuffle on node id,
+    lineage truncated per round;
+  * outputs: hash-partitioned writes, no global sort anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduper_spark.config import DedupConfig
+from deduper_spark.functions.keys import md5_key_expr
+from deduper_spark.functions.minhash import minhash_expr
+from deduper_spark.functions.simhash import simhash_expr
+from deduper_spark.functions.text import (
+    normalize_expr,
+    shingle_hashes_expr,
+    shingles_expr,
+    token_hashes_expr,
+    tokens_expr,
+)
+from deduper_spark.operators.cc import connected_components
+from deduper_spark.operators.lsh import (
+    band_buckets,
+    candidate_pairs,
+    int64_band_buckets,
+    union_pairs,
+)
+from deduper_spark.operators.suffix import containment_pairs
+from deduper_spark.operators.verify import verify_hamming, verify_jaccard, verify_psnr
+from deduper_spark.report import DedupeReport
+
+ALL_FAMILIES = ("exact", "minhash", "simhash", "phash", "substring")
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame    # (image_id, cluster_id)
+    survivors: DataFrame   # input rows where image_id == cluster_id
+    dupe_groups: DataFrame # (cluster_id, member_ids, survivor_id, n_members)
+    edges: DataFrame       # verified dup pairs (id_l, id_r, families)
+    hash_ledger: DataFrame # exact-key ledger (hash, json_row?)
+    report: DedupeReport = field(default_factory=DedupeReport)
+    metrics: list[dict] = field(default_factory=list)
+
+
+class DedupPipeline:
+    def __init__(self, config: DedupConfig | None = None,
+                 families: tuple[str, ...] = ALL_FAMILIES,
+                 verify_pixels: bool = True):
+        self.config = config or DedupConfig()
+        self.families = families
+        self.verify_pixels = verify_pixels
+        self.metrics: list[dict] = []
+
+    # ------------------------------------------------------------ stages
+
+    def _ckpt_path(self, stage: str) -> str | None:
+        cd = self.config.checkpoint_dir
+        if not cd:
+            return None
+        return os.path.join(cd, self.config.run_id, stage)
+
+    def _materialize(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
+        """Checkpoint a stage (resume if already written) + record metrics,
+        including per-partition row counts (lineage requirement)."""
+        path = self._ckpt_path(stage)
+        t0 = time.time()
+        if path:
+            done_marker = os.path.join(path, "_SUCCESS")
+            if os.path.exists(done_marker):
+                out = spark.read.parquet(path)
+                self.metrics.append(
+                    {"stage": stage, "resumed": True, "rows": out.count(),
+                     "sec": round(time.time() - t0, 3)}
+                )
+                return out
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+        else:
+            out = df.localCheckpoint()
+        part_counts = [
+            (r["pid"], r["n"])
+            for r in out.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count("*").alias("n")).collect()
+        ]
+        self.metrics.append(
+            {
+                "stage": stage,
+                "resumed": False,
+                "rows": sum(n for _, n in part_counts),
+                "partitions": len(part_counts),
+                "max_partition_rows": max((n for _, n in part_counts), default=0),
+                "sec": round(time.time() - t0, 3),
+            }
+        )
+        return out
+
+    def features(self, df: DataFrame) -> DataFrame:
+        """Narrow stage: all signatures in one projection (no shuffle).
+        `bytes` is intentionally NOT carried — it re-enters only in the
+        PSNR pair join."""
+        cfg = self.config.fuzzy
+        out = df.select(
+            F.col(self.config.order_col).alias("id"),
+            "caption",
+            "phash",
+            normalize_expr("caption").alias("norm_caption"),
+        )
+        out = out.withColumn("tokens", tokens_expr("norm_caption"))
+        out = out.withColumn(
+            "shingle_hashes",
+            shingle_hashes_expr(shingles_expr("tokens", cfg.shingle_k)),
+        )
+        out = out.withColumn(
+            "exact_hash",
+            md5_key_expr(["caption", "phash"]),
+        )
+        if "minhash" in self.families:
+            out = out.withColumn(
+                "minhash_sig",
+                minhash_expr("shingle_hashes", cfg.num_perm, cfg.minhash_seed),
+            )
+        if "simhash" in self.families:
+            out = out.withColumn(
+                "simhash", simhash_expr(token_hashes_expr("tokens"))
+            )
+        return out.drop("tokens")
+
+    def candidate_edges(self, spark: SparkSession, feats: DataFrame,
+                        images: DataFrame) -> DataFrame:
+        cfg = self.config.fuzzy
+        verified: list[DataFrame] = []
+
+        if "exact" in self.families:
+            # star edges to the group min — connectivity-equivalent to
+            # all O(g^2) intra-group pairs at linear cost
+            gmin = feats.groupBy("exact_hash").agg(F.min("id").alias("gmin"))
+            exact_edges = (
+                feats.join(gmin, "exact_hash")
+                .where(F.col("id") != F.col("gmin"))
+                .select(
+                    F.col("gmin").alias("id_l"),
+                    F.col("id").alias("id_r"),
+                    F.array(F.lit("exact")).alias("families"),
+                )
+            )
+            verified.append(exact_edges)
+
+        if "minhash" in self.families:
+            bb = band_buckets(feats, "id", "minhash_sig", cfg.bands,
+                              cfg.rows_per_band, "minhash")
+            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
+            self._record_dropped(spark, "minhash", dropped)
+            verified.append(
+                verify_jaccard(pairs, feats, "shingle_hashes",
+                               cfg.jaccard_threshold)
+                .drop("jaccard")
+            )
+
+        if "simhash" in self.families:
+            bb = int64_band_buckets(feats, "id", "simhash",
+                                    cfg.phash_band_bits, "simhash")
+            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
+            self._record_dropped(spark, "simhash", dropped)
+            verified.append(
+                verify_hamming(pairs, feats, "simhash",
+                               cfg.simhash_hamming_threshold).drop("hamming")
+            )
+
+        if "phash" in self.families:
+            bb = int64_band_buckets(feats, "id", "phash",
+                                    cfg.phash_band_bits, "phash")
+            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
+            self._record_dropped(spark, "phash", dropped)
+            ham_ok = verify_hamming(pairs, feats, "phash",
+                                    cfg.phash_hamming_threshold).drop("hamming")
+            if self.verify_pixels:
+                ham_ok = verify_psnr(
+                    ham_ok,
+                    images.select(F.col(self.config.order_col).alias("id"),
+                                  "bytes"),
+                    cfg.psnr_threshold_db,
+                ).drop("psnr")
+            verified.append(ham_ok)
+
+        if "substring" in self.families:
+            verified.append(
+                containment_pairs(
+                    feats.select("id", "norm_caption", "shingle_hashes")
+                )
+            )
+
+        if not verified:
+            raise ValueError("no dedup families enabled")
+        return union_pairs(*verified)
+
+    def _record_dropped(self, spark: SparkSession, family: str,
+                        dropped: DataFrame) -> None:
+        row = dropped.agg(
+            F.count("*").alias("buckets"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows"),
+        ).collect()[0]
+        if row["buckets"]:
+            self.metrics.append(
+                {"stage": f"lsh_{family}", "dropped_hot_buckets": row["buckets"],
+                 "dropped_rows": int(row["rows"])}
+            )
+
+    # --------------------------------------------------------------- run
+
+    def run(self, spark: SparkSession, df: DataFrame) -> PipelineResult:
+        t0 = time.time()
+        self.metrics = []
+
+        feats = self._materialize(spark, "features", self.features(df))
+        edges = self._materialize(
+            spark, "edges", self.candidate_edges(spark, feats, df)
+        )
+        clusters = self._materialize(
+            spark,
+            "clusters",
+            connected_components(edges, nodes=feats.select("id"))
+            .select(F.col("id").alias("image_id"), "cluster_id"),
+        )
+
+        survivor_ids = clusters.where(
+            F.col("image_id") == F.col("cluster_id")
+        ).select(F.col("image_id").alias(self.config.order_col))
+        survivors = df.join(survivor_ids, self.config.order_col, "left_semi")
+
+        dupe_groups = (
+            clusters.groupBy("cluster_id")
+            .agg(
+                F.sort_array(F.collect_list("image_id")).alias("member_ids"),
+                F.count("*").alias("n_members"),
+            )
+            .withColumn("survivor_id", F.col("cluster_id"))
+            .where(F.col("n_members") > 1)
+        )
+
+        ledger = feats.groupBy(F.col("exact_hash").alias("hash")).agg(
+            F.min("id").alias("first_id")
+        ).drop("first_id") if not self.config.include_json else (
+            feats.groupBy(F.col("exact_hash").alias("hash")).agg(
+                F.to_json(
+                    F.min_by(F.struct("id", "caption", "phash"), F.col("id"))
+                ).alias("json_row")
+            )
+        )
+
+        # ---- report (one small collect) --------------------------------
+        n_records = feats.count()
+        n_survivors = survivors.count()
+        grp = dupe_groups.agg(
+            F.count("*").alias("g"),
+            F.coalesce(F.sum(F.col("n_members") - 1), F.lit(0)).alias("d"),
+        ).collect()[0]
+        report = DedupeReport(
+            record_count=n_records,
+            hash_columns=["caption", "phash"],
+            columns_found=df.columns,
+            dupe_count=n_records - n_survivors,
+            distinct_dupe_count=grp["g"],
+            hash_count=ledger.count(),
+            success=True,
+        )
+        self.metrics.append({"stage": "total", "sec": round(time.time() - t0, 3)})
+        self._write_metrics(report)
+
+        return PipelineResult(
+            clusters=clusters,
+            survivors=survivors,
+            dupe_groups=dupe_groups,
+            edges=edges,
+            hash_ledger=ledger,
+            report=report,
+            metrics=self.metrics,
+        )
+
+    def _write_metrics(self, report: DedupeReport) -> None:
+        cd = self.config.checkpoint_dir
+        if not cd:
+            return
+        path = os.path.join(cd, self.config.run_id, "metrics.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"report": json.loads(report.to_json()),
+                       "stages": self.metrics}, f, indent=2)
