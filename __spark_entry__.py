@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator surface (SURVEY.md §2) over the
+driver's parquet tables; oracle_sql() gives the DuckDB-equivalent ANSI
+SQL for every SQL-expressible operator. Non-SQL-expressible ops
+(pandas-UDF sketches, LSH, CC, image pipeline) are rows-only checked.
+
+All computed columns are aliased identically on both sides; float
+outputs are either avoided (ids/ranks only) or rounded to 6 decimals
+and cast to DOUBLE in the oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: full image near-dup pipeline on the deterministic synthetic
+# corpus (BASELINE.json input_hint shape)
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from deduper_spark.config import DedupConfig
+    from deduper_spark.pipeline import DedupPipeline
+    from deduper_spark.synth import make_df
+
+    df = make_df(spark, seed=42, n=200)
+    res = DedupPipeline(DedupConfig()).run(spark, df)
+    return res.clusters  # (image_id, cluster_id)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+LI_KEYS = ("l_orderkey", "l_partkey")
+
+
+def _li_keyed(spark, sf_dir):
+    from deduper_spark.functions.keys import md5_key_expr
+
+    return _t(spark, sf_dir, "lineitem").withColumn(
+        "hash", md5_key_expr(list(LI_KEYS))
+    )
+
+
+def q_exact_dedup_survivors(spark, sf_dir):
+    """O10 keep-first dedup (window row_number over hash)."""
+    keyed = _li_keyed(spark, sf_dir)
+    w = Window.partitionBy("hash").orderBy("l_linenumber")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+def q_dupe_groups(spark, sf_dir):
+    """O11 dupe-group aggregation: row_ids JSON + first-found + size."""
+    keyed = _li_keyed(spark, sf_dir)
+    return (
+        keyed.groupBy("hash")
+        .agg(
+            F.to_json(F.sort_array(F.collect_list("l_linenumber"))).alias("row_ids"),
+            F.min("l_linenumber").cast("long").alias("first_found"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .where(F.col("group_size") > 1)
+        .select("hash", "row_ids", "first_found", "group_size")
+    )
+
+
+def q_hash_ledger(spark, sf_dir):
+    """O21 hash ledger: distinct hash + first ordinal + multiplicity."""
+    keyed = _li_keyed(spark, sf_dir)
+    return keyed.groupBy("hash").agg(
+        F.min("l_linenumber").cast("long").alias("first_ln"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+
+
+def q_incremental_anti(spark, sf_dir):
+    """O12 anti-join vs seen-hash ledger (incremental mode)."""
+    keyed = _li_keyed(spark, sf_dir)
+    ledger = keyed.where(F.col("l_orderkey") % 2 == 0).select("hash").distinct()
+    return (
+        keyed.join(ledger, "hash", "left_anti")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+def q_incremental_semi(spark, sf_dir):
+    """O12 semi-join: rows already present in the ledger, counted per hash."""
+    keyed = _li_keyed(spark, sf_dir)
+    ledger = keyed.where(F.col("l_orderkey") % 2 == 0).select("hash").distinct()
+    return (
+        keyed.join(ledger, "hash", "left_semi")
+        .groupBy("hash")
+        .agg(F.count("*").cast("long").alias("seen_rows"))
+    )
+
+
+def q_agg_pricing(spark, sf_dir):
+    """O14 counting/summing aggregates (TPC-H Q1 pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 10)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+def q_join_agg(spark, sf_dir):
+    """Broadcast dim join (orders x customer) + aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+def q_window_topk(spark, sf_dir):
+    """Window top-k: 3 priciest orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: high-value EXCEPT low-value customers."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.where(F.col("o_totalprice") > 150000).select("o_custkey")
+    lo = o.where(F.col("o_totalprice") < 50000).select("o_custkey")
+    return hi.distinct().exceptAll(lo.distinct()).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+
+
+# ------------------------------------------------- documents (text ops)
+
+def _docs_aug_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    copy = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copy)
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    """Exact text dedup over augmented docs (1/5 duplicated)."""
+    from deduper_spark.operators.exact import exact_dedup
+
+    aug = _docs_aug_exact(spark, sf_dir)
+    res = exact_dedup(aug, ("text",), order_col="doc_id")
+    return res.survivors.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    """Blocked token-3-gram Jaccard near-dup pairs (SQL-expressible)."""
+    from deduper_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail token")).alias("text"),
+    )
+    aug = d.unionByName(near)
+    return (
+        ngram_jaccard_pairs(aug, "doc_id", "text", k=3, prefix_tokens=5,
+                            threshold=0.3)
+        .select(
+            F.col("id_l").cast("long").alias("id_l"),
+            F.col("id_r").cast("long").alias("id_r"),
+            F.col("jaccard"),
+        )
+    )
+
+
+def q_token_count(spark, sf_dir):
+    from deduper_spark.functions.textstats import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    from deduper_spark.functions.textstats import quality_score_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr("text").alias("quality"))
+
+
+def q_lang_id(spark, sf_dir):
+    from deduper_spark.functions.textstats import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from deduper_spark.functions.textstats import fingerprint_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr("text", 5).alias("fingerprint"))
+
+
+# ------------------------------------------------- embeddings (vector ops)
+
+def _emb_aug(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    copy = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label"
+    )
+    return e.unionByName(copy)
+
+
+def q_emb_cosine_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (>=0.99) blocked by label."""
+    from deduper_spark.operators.dedup_text import embedding_cosine_pairs
+
+    aug = _emb_aug(spark, sf_dir)
+    return embedding_cosine_pairs(
+        aug, "vec_id", "embedding", "label", threshold=0.99
+    ).select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for query vectors vec_id < 10."""
+    from deduper_spark.operators.ann import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# --------------------------------------- rows-only (non-SQL-expressible)
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup doc pairs (pandas-UDF sketch — no oracle)."""
+    from deduper_spark.operators.dedup_text import minhash_lsh_doc_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
+    )
+    aug = d.unionByName(near)
+    return minhash_lsh_doc_pairs(aug, "doc_id", "text").select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+    )
+
+
+def q_doc_simhash(spark, sf_dir):
+    from deduper_spark.operators.dedup_text import simhash_doc_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = d.unionByName(near)
+    return simhash_doc_pairs(aug, "doc_id", "text").select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+    )
+
+
+def q_image_dedup_clusters(spark, sf_dir):
+    """Full image near-dup pipeline on the deterministic synth corpus."""
+    from deduper_spark.config import DedupConfig
+    from deduper_spark.pipeline import DedupPipeline
+    from deduper_spark.synth import make_df
+
+    df = make_df(spark, seed=42, n=300)
+    return DedupPipeline(DedupConfig()).run(spark, df).clusters
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal decode + feature extraction (mapInPandas)."""
+    from deduper_spark.operators.multimodal import extract_image_features
+    from deduper_spark.synth import make_df
+
+    df = make_df(spark, seed=42, n=100)
+    return extract_image_features(df, "image_id", "bytes")
+
+
+def q_emb_lsh_ann(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (pandas-UDF signature — no oracle)."""
+    from deduper_spark.operators.ann import lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+    return lsh_topk(e, q, dim=64, k=3, n_planes=8).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup_survivors": q_exact_dedup_survivors,
+        "dupe_groups": q_dupe_groups,
+        "hash_ledger": q_hash_ledger,
+        "incremental_anti": q_incremental_anti,
+        "incremental_semi": q_incremental_semi,
+        "agg_pricing": q_agg_pricing,
+        "join_agg": q_join_agg,
+        "window_topk": q_window_topk,
+        "set_ops": q_set_ops,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "emb_cosine_dups": q_emb_cosine_dups,
+        "ann_topk": q_ann_topk,
+        # rows-only (non-SQL-expressible: pandas-UDF sketches / pipeline)
+        "doc_minhash_lsh": q_doc_minhash_lsh,
+        "doc_simhash": q_doc_simhash,
+        "image_dedup_clusters": q_image_dedup_clusters,
+        "image_features": q_image_features,
+        "emb_lsh_ann": q_emb_lsh_ann,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_LI_HASH = "upper(md5(concat_ws(', ', l_orderkey, l_partkey)))"
+
+_NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+_TOKS = f"string_split_regex({_NORM}, '\\s+')"
+
+_SW = {
+    "en": "['the','and','of','to','a','in','is','it','for','on']",
+    "de": "['der','die','das','und','ist','von','mit','den','ein','zu']",
+    "fr": "['le','la','les','et','de','un','une','est','pour','dans']",
+    "es": "['el','la','los','las','y','de','un','una','es','para']",
+}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lo_toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    sw_counts = ", ".join(
+        f"len(list_filter({lo_toks}, t -> list_contains({_SW[l]}, t))) AS c_{l}"
+        for l in ("en", "de", "fr", "es")
+    )
+    grams3 = (
+        "list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')] "
+        "ELSE list_transform(range(len(toks)-2), "
+        "i -> array_to_string(list_slice(toks, i+1, i+3), ' ')) END)"
+    )
+    shingles5 = (
+        "CASE WHEN len(toks) < 5 THEN [array_to_string(toks,' ')] "
+        "ELSE list_transform(range(len(toks)-4), "
+        "i -> array_to_string(list_slice(toks, i+1, i+5), ' ')) END"
+    )
+    return {
+        "exact_dedup_survivors": f"""
+            SELECT l_orderkey, l_partkey, l_linenumber
+            FROM (SELECT l_orderkey, l_partkey, l_linenumber,
+                         row_number() OVER (PARTITION BY {_LI_HASH}
+                                            ORDER BY l_linenumber) rn
+                  FROM lineitem)
+            WHERE rn = 1
+        """,
+        "dupe_groups": f"""
+            SELECT {_LI_HASH} AS hash,
+                   to_json(list(l_linenumber ORDER BY l_linenumber))::VARCHAR AS row_ids,
+                   min(l_linenumber)::BIGINT AS first_found,
+                   count(*)::BIGINT AS group_size
+            FROM lineitem GROUP BY 1 HAVING count(*) > 1
+        """,
+        "hash_ledger": f"""
+            SELECT {_LI_HASH} AS hash,
+                   min(l_linenumber)::BIGINT AS first_ln,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem GROUP BY 1
+        """,
+        "incremental_anti": f"""
+            SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem l
+            WHERE {_LI_HASH} NOT IN (
+                SELECT {_LI_HASH} FROM lineitem WHERE l_orderkey % 2 = 0)
+        """,
+        "incremental_semi": f"""
+            SELECT {_LI_HASH} AS hash, count(*)::BIGINT AS seen_rows
+            FROM lineitem l
+            WHERE {_LI_HASH} IN (
+                SELECT {_LI_HASH} FROM lineitem WHERE l_orderkey % 2 = 0)
+            GROUP BY 1
+        """,
+        "agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+                   round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+                   round(avg(l_discount), 6)::DOUBLE AS avg_disc,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem WHERE l_quantity > 10
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_agg": """
+            SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                   round(sum(o_totalprice), 2)::DOUBLE AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, rnk FROM (
+                SELECT o_custkey, o_orderkey,
+                       row_number() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC,
+                                                   o_orderkey ASC)::BIGINT rnk
+                FROM orders)
+            WHERE rnk <= 3
+        """,
+        "set_ops": """
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice > 150000
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            WHERE o_totalprice < 50000
+        """,
+        "doc_exact_dedup": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT min(doc_id)::BIGINT AS doc_id FROM aug GROUP BY text
+        """,
+        "doc_ngram_jaccard": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz extra tail token'
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            feats AS (
+                SELECT doc_id,
+                       {_TOKS} AS toks
+                FROM aug
+            ),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, 1, 5), ' ') AS block,
+                       {grams3} AS grams
+                FROM feats
+            )
+            SELECT a.doc_id::BIGINT AS id_l, b.doc_id::BIGINT AS id_r,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                         greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1),
+                         6)::DOUBLE AS jaccard
+            FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                        greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1),
+                        6) >= 0.3
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END::BIGINT AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            SELECT doc_id, round(
+                least(CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END
+                      / 50.0, 1.0) * 0.5
+                + least(round(len(list_filter({lo_toks},
+                          t -> list_contains({_SW['en']}, t)))::DOUBLE /
+                        greatest(len({lo_toks}), 1), 6) * 5.0, 1.0) * 0.3
+                + (1.0 - round((length(text) -
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE /
+                     greatest(length(text), 1), 6)) * 0.2,
+                6)::DOUBLE AS quality
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH s AS (SELECT doc_id, {sw_counts} FROM documents)
+            SELECT doc_id,
+                   CASE WHEN c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0
+                            THEN 'und'
+                        WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+                            THEN 'en'
+                        WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+                        WHEN c_fr >= c_es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM s
+        """,
+        "doc_fingerprint": f"""
+            WITH f AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   list_aggregate(list_transform({shingles5}, s -> md5(s)),
+                                  'min') AS fingerprint
+            FROM f
+        """,
+        "emb_cosine_dups": """
+            WITH aug AS (
+                SELECT vec_id, embedding, label FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding, label
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            n AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x*x))) AS nrm
+                FROM aug
+            )
+            SELECT a.vec_id::BIGINT AS id_l, b.vec_id::BIGINT AS id_r
+            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(range(64),
+                      i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm) >= 0.99
+        """,
+        "ann_topk": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x*x))) AS nrm
+                FROM embeddings
+            ),
+            scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(64),
+                           i -> q.v[i+1] * c.v[i+1])) / (q.nrm * c.nrm) AS cosine
+                FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id != q.vec_id
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id, rnk::BIGINT AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id ASC) rnk
+                  FROM scored)
+            WHERE rnk <= 3
+        """,
+    }

@@ -1,0 +1,97 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full materialization,
+no driver collect); the image pipeline is timed through its own actions
+and reported with an images/sec figure as well.
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from deduper_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    qfns = entry.queries()
+    timings: dict[str, float] = {}
+
+    # ---- relational / text / vector headline queries -------------------
+    headline = [
+        "exact_dedup_survivors",
+        "dupe_groups",
+        "incremental_anti",
+        "agg_pricing",
+        "join_agg",
+        "window_topk",
+        "doc_minhash_lsh",
+        "doc_ngram_jaccard",
+        "ann_topk",
+    ]
+    for name in headline:
+        t0 = time.time()
+        _force(qfns[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # ---- flagship: image near-dup pipeline at sf-scaled corpus ---------
+    from deduper_spark.config import DedupConfig
+    from deduper_spark.pipeline import DedupPipeline
+    from deduper_spark.synth import make_df
+
+    n_images = max(2_000, int(sf * 200_000))
+    df = make_df(spark, seed=42, n=n_images)
+    df = df.persist()
+    df.count()  # materialize synth outside the timed window
+    t0 = time.time()
+    res = DedupPipeline(DedupConfig()).run(spark, df)
+    _force(res.clusters)
+    image_sec = round(time.time() - t0, 3)
+    timings["image_dedup_pipeline"] = image_sec
+    df.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images": n_images,
+        "images_per_sec": round(n_images / image_sec, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

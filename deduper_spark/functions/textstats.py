@@ -1,0 +1,97 @@
+"""Text-analysis expressions for training-data pipelines — all JVM-side.
+
+Language-ID (stopword-hit heuristic), quality scoring (length/punct/
+stopword ratios), token counting (whitespace + BPE-ish regex pieces),
+and document fingerprinting. Every expression here is deliberately
+ANSI-SQL-mirrorable so the DuckDB oracle can recompute it bit-for-bit
+(__spark_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from deduper_spark.functions.text import shingles_expr
+
+# tiny fixed stopword lists — deterministic heuristic, not linguistics
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est", "pour", "dans"],
+    "es": ["el", "la", "los", "las", "y", "de", "un", "una", "es", "para"],
+}
+
+
+def token_count_expr(text: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(t)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_piece_count_expr(text: str | Column) -> Column:
+    """BPE-ish piece count: word chunks of <=4 chars + digits + punct,
+    via regexp extraction — a deterministic proxy for tokenizer cost."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def punct_ratio_expr(text: str | Column) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return F.round(n_punct / F.greatest(F.length(t), F.lit(1)), 6)
+
+
+def stopword_ratio_expr(tokens: Column, lang: str = "en") -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(tokens, lambda x: F.array_contains(sw, x)))
+    return F.round(hits / F.greatest(F.size(tokens), F.lit(1)), 6)
+
+
+def quality_score_expr(text: str | Column) -> Column:
+    """Composite [0,1] quality score: favors mid-length docs, low punct
+    density, presence of stopwords. Formula mirrored in oracle SQL."""
+    t = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    n_tok = token_count_expr(t).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = punct_ratio_expr(t)
+    sw_score = F.least(stopword_ratio_expr(tokens) * 5.0, F.lit(1.0))
+    return F.round(
+        (len_score * 0.5 + sw_score * 0.3 + (1.0 - punct_pen) * 0.2), 6
+    )
+
+
+def lang_id_expr(text: str | Column) -> Column:
+    """Stopword-vote language ID over {en,de,fr,es}, 'und' when no hits.
+    Ties break by fixed language order (en,de,fr,es)."""
+    t = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+
+    def _hits(lang: str) -> Column:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        # NB single-arg lambda: a 2-arg lambda would be treated by
+        # F.filter as (element, index) and break the closure
+        return F.size(F.filter(tokens, lambda x: F.array_contains(sw, x)))
+
+    scores = [_hits(lang) for lang in ("en", "de", "fr", "es")]
+    best = F.greatest(*scores)
+    out = F.lit("und")
+    for lang, sc in zip(("es", "fr", "de", "en"), reversed(scores)):
+        out = F.when(sc == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def fingerprint_expr(text: str | Column, k: int = 5) -> Column:
+    """Document fingerprint: lexicographic min of md5 over token
+    k-shingles (one-permutation MinHash in hex — winnowing-style,
+    identical in any ANSI engine with md5)."""
+    t = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    sh = shingles_expr(tokens, k)
+    return F.array_min(F.transform(sh, lambda s: F.md5(s)))

@@ -1,0 +1,120 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two strategies (SURVEY.md §2 training-data additions):
+  * brute-force cosine top-k — the exactness baseline. Queries are a
+    small set broadcast against the corpus (a broadcast-nested-loop
+    by construction, scanning the corpus ONCE regardless of k);
+  * hyperplane-LSH bucketed top-k — the scale path: sign-random-
+    projection signature (pandas UDF, NumPy matmul per Arrow batch),
+    candidates restricted to same-bucket rows, then exact cosine
+    re-rank. At 10^12 rows the bucket join replaces the full scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _cosine_cols(dot, n_l, n_r):
+    return F.round(dot / (n_l * n_r), 6)
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                           lambda acc, x: acc + x)),
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — exact cosine top-k, self excluded.
+
+    ``queries`` is expected small → broadcast; the corpus is scanned
+    once. Rank ties broken by neighbor_id for determinism.
+    """
+    c = _with_norm(corpus, id_col, vec_col)
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    scored = (
+        c.join(F.broadcast(q), F.col("id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols(dot, F.col("norm"), F.col("qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank")
+    )
+
+
+def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    """Sign-random-projection bucket id: 64>=n_planes bits packed into
+    a long. NumPy matmul over the whole Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (m @ planes) > 0
+        packed = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pd.Series(packed.astype(np.int64))
+
+    return _sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Bucketed ANN: candidates share the hyperplane bucket, exact
+    cosine re-rank within. Recall < 1 by construction; multiply probe
+    by lowering n_planes or unioning rotated plane sets."""
+    sig = hyperplane_signature_udf(dim, n_planes, seed)
+    c = _with_norm(corpus, id_col, vec_col).withColumn("bucket", sig("v"))
+    q = _with_norm(queries, id_col, vec_col).withColumn("bucket", sig("v")).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"), "bucket",
+    )
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    scored = (
+        c.join(q, "bucket")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols(dot, F.col("norm"), F.col("qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine")
+    )
