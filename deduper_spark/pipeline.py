@@ -71,10 +71,15 @@ class PipelineResult:
 class DedupPipeline:
     def __init__(self, config: DedupConfig | None = None,
                  families: tuple[str, ...] = ALL_FAMILIES,
-                 verify_pixels: bool = True):
+                 verify_pixels: bool = True,
+                 collect_metrics: bool = True):
+        """collect_metrics=False drops the per-partition lineage jobs
+        and hot-bucket accounting collects — for benchmark runs where
+        every extra action is measured overhead."""
         self.config = config or DedupConfig()
         self.families = families
         self.verify_pixels = verify_pixels
+        self.collect_metrics = collect_metrics
         self.metrics: list[dict] = []
 
     # ------------------------------------------------------------ stages
@@ -103,21 +108,20 @@ class DedupPipeline:
             out = spark.read.parquet(path)
         else:
             out = df.localCheckpoint()
-        part_counts = [
-            (r["pid"], r["n"])
-            for r in out.groupBy(F.spark_partition_id().alias("pid"))
-            .agg(F.count("*").alias("n")).collect()
-        ]
-        self.metrics.append(
-            {
-                "stage": stage,
-                "resumed": False,
-                "rows": sum(n for _, n in part_counts),
-                "partitions": len(part_counts),
-                "max_partition_rows": max((n for _, n in part_counts), default=0),
-                "sec": round(time.time() - t0, 3),
-            }
-        )
+        entry: dict = {"stage": stage, "resumed": False,
+                       "sec": round(time.time() - t0, 3)}
+        if self.collect_metrics:
+            part_counts = [
+                (r["pid"], r["n"])
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count("*").alias("n")).collect()
+            ]
+            entry.update(
+                rows=sum(n for _, n in part_counts),
+                partitions=len(part_counts),
+                max_partition_rows=max((n for _, n in part_counts), default=0),
+            )
+        self.metrics.append(entry)
         return out
 
     def features(self, df: DataFrame) -> DataFrame:
@@ -221,6 +225,8 @@ class DedupPipeline:
 
     def _record_dropped(self, spark: SparkSession, family: str,
                         dropped: DataFrame) -> None:
+        if not self.collect_metrics:
+            return
         row = dropped.agg(
             F.count("*").alias("buckets"),
             F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("rows"),
@@ -273,20 +279,30 @@ class DedupPipeline:
             )
         )
 
-        # ---- report (one small collect) --------------------------------
-        n_records = feats.count()
-        n_survivors = survivors.count()
-        grp = dupe_groups.agg(
-            F.count("*").alias("g"),
-            F.coalesce(F.sum(F.col("n_members") - 1), F.lit(0)).alias("d"),
+        # ---- report (two small aggregations over checkpointed outputs) --
+        cstats = clusters.agg(
+            F.count("*").alias("n_records"),
+            F.sum((F.col("image_id") == F.col("cluster_id")).cast("long"))
+            .alias("n_survivors"),
+            # distinct clusters that own at least one non-survivor row
+            # == number of dupe groups (reference distinctDupeCount)
+            F.count_distinct(
+                F.when(F.col("image_id") != F.col("cluster_id"),
+                       F.col("cluster_id"))
+            ).alias("n_dupe_groups"),
         ).collect()[0]
+        hstats = feats.agg(
+            F.count_distinct("exact_hash").alias("hash_count")
+        ).collect()[0]
+        n_records = cstats["n_records"]
+        n_survivors = cstats["n_survivors"]
         report = DedupeReport(
             record_count=n_records,
             hash_columns=["caption", "phash"],
             columns_found=df.columns,
             dupe_count=n_records - n_survivors,
-            distinct_dupe_count=grp["g"],
-            hash_count=ledger.count(),
+            distinct_dupe_count=cstats["n_dupe_groups"],
+            hash_count=hstats["hash_count"],
             success=True,
         )
         self.metrics.append({"stage": "total", "sec": round(time.time() - t0, 3)})

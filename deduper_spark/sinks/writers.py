@@ -1,0 +1,90 @@
+"""Sink connectors (reference operators O18-O21, O23, O27).
+
+The reference fans out to <=3 sinks over blocking queues with file
+locks (O24/O25) — all obsolete under Spark's DAG + atomic commit
+protocols (Iceberg snapshot commits in production, parquet/csv task
+commits here). What survives:
+  * the three canonical outputs: deduped target, dupes table, hashes
+    ledger (schemas from persistors/Persistors.kt:343-350, 415-420);
+  * delete-if-exists -> mode("overwrite") (O23);
+  * reconciliation (O27) — the reference logs mismatches
+    (consumers/BaseConsumer.kt:106-117); THIS engine fails hard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deduper_spark.operators.exact import ExactDedupResult
+from deduper_spark.report import DedupeReport
+
+
+class ReconciliationError(RuntimeError):
+    pass
+
+
+def write_csv(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    """CSV sink: nulls written as '' (reference O18 —
+    persistors/Persistors.kt:167-173 coerces null -> empty string)."""
+    str_df = df.select(
+        *[F.coalesce(F.col(c).cast("string"), F.lit("")).alias(c)
+          for c in df.columns]
+    )
+    str_df.write.mode("overwrite" if overwrite else "error").option(
+        "header", True
+    ).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    df.write.mode("overwrite" if overwrite else "error").parquet(path)
+
+
+def write_table(df: DataFrame, ident_or_path: str, overwrite: bool = True) -> None:
+    """Iceberg writeTo when a catalog is configured, else parquet."""
+    from deduper_spark.sources.readers import iceberg_available
+
+    spark = df.sparkSession
+    if "/" not in ident_or_path and iceberg_available(spark):
+        if overwrite:
+            df.writeTo(ident_or_path).createOrReplace()
+        else:
+            df.writeTo(ident_or_path).append()
+        return
+    write_parquet(df, ident_or_path, overwrite)
+
+
+def write_dedup_outputs(
+    spark: SparkSession,
+    result: ExactDedupResult,
+    report: DedupeReport,
+    target_path: str | None = None,
+    dupes_path: str | None = None,
+    hashes_path: str | None = None,
+    reconcile: bool = True,
+) -> dict[str, int]:
+    """Write the reference's three sinks and reconcile counts against
+    the report: target == recordCount - dupeCount
+    (DeduperDataConsumer.kt:55-57), dupes == distinctDupeCount
+    (DeduperDupeConsumer.kt:33-35), hashes == hashCount
+    (DeduperHashConsumer.kt:34-36). Mismatch raises (fail-hard upgrade
+    over the reference's log-only behavior)."""
+    written: dict[str, int] = {}
+    checks = {
+        "target": (target_path, result.survivors, report.surviving_count),
+        "dupes": (dupes_path, result.dupe_groups, report.distinct_dupe_count),
+        "hashes": (hashes_path, result.hash_ledger, report.hash_count),
+    }
+    for name, (path, df, expected) in checks.items():
+        if not path:
+            continue
+        write_table(df, path)
+        n = spark.read.parquet(path).count() if "/" in path else (
+            spark.read.table(path).count()
+        )
+        written[name] = n
+        if reconcile and n != expected:
+            raise ReconciliationError(
+                f"sink '{name}' wrote {n} rows, report expects {expected}"
+            )
+    return written

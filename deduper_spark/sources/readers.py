@@ -1,0 +1,81 @@
+"""Source connectors (reference operators O1-O4, O22).
+
+The reference exposes every source through JDBC (even CSV, via the
+csvjdbc driver — build.gradle.kts:73); Spark-first that becomes native
+readers with Catalyst pushdown. Iceberg is the production substrate
+(BASELINE.json north rule); in this sandbox (no Iceberg runtime jars)
+it is gated behind a capability check, with parquet as the stand-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv_as_strings(spark: SparkSession, path: str,
+                        header: bool = True) -> DataFrame:
+    """CSV with EVERY column string — reproduces the reference's
+    csvjdbc semantics (README.md:292: 'csv ... all columns degrade to
+    string'). Inference is deliberately off so hash keys stringify
+    identically to the reference."""
+    df = spark.read.option("header", header).option(
+        "inferSchema", False
+    ).csv(path)
+    schema = StructType([StructField(c, StringType(), True) for c in df.columns])
+    return (
+        spark.read.option("header", header)
+        # csvjdbc has no null concept: absent values are empty strings,
+        # so disable Spark's ''->null mapping (reference O2/O18 parity)
+        .option("nullValue", "\u0000")
+        .option("emptyValue", "")
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_sql(spark: SparkSession, table_or_query: str) -> DataFrame:
+    """The reference's tableQuery passthrough (Deduper.kt:392-398):
+    prepend SELECT * FROM unless the string already is a SELECT."""
+    q = table_or_query.strip()
+    if not q.lower().startswith("select"):
+        q = f"SELECT * FROM {q}"
+    return spark.sql(q)
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              properties: dict | None = None) -> DataFrame:
+    """JDBC source (reference O1/O3). Requires a driver jar on the
+    classpath — absent in this sandbox, so calls surface Spark's own
+    ClassNotFound error; the API contract is what the engine ships."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # type: ignore[union-attr]
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_table(spark: SparkSession, ident_or_path: str) -> DataFrame:
+    """Iceberg table ident when a catalog is configured, else a
+    parquet path — the engine's single entry for 'the input table'."""
+    if "/" not in ident_or_path and iceberg_available(spark):
+        return spark.read.table(ident_or_path)
+    return spark.read.parquet(ident_or_path)
+
+
+def schema_probe(df: DataFrame) -> StructType:
+    """Schema without reading rows (reference O22 — the WHERE 1=2
+    metadata probe, consumers/DeduperDataConsumer.kt:36-50). For
+    DataFrames this is analysis-time; limit(0) keeps the parity shape."""
+    return df.limit(0).schema
