@@ -87,22 +87,49 @@ def int64_band_buckets(
 def candidate_pairs(
     buckets: DataFrame,
     max_bucket_size: int = 200,
+    hot_bucket_policy: str = "salt",
+    salt_cap: int = 20_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Self-join each (family, band, bucket) group → (id_l < id_r) pairs.
 
-    Returns (pairs, dropped_buckets_metrics). Buckets above
-    max_bucket_size are excluded from pairing and reported — at corpus
-    scale these are stop-patterns whose quadratic blowup would dominate
-    the whole job (SURVEY.md §7 hard part (d)).
+    Skew defusal (SURVEY.md §7 hard part (d); north rule "salted
+    repartitioning"): a bucket of size s yields s(s-1)/2 pairs, so hot
+    buckets (stop shingles, constant captions) would dominate the job
+    AND pin one task. Policy per bucket with size > max_bucket_size:
+
+      * "salt": members are salted into ceil(s/max) sub-buckets via
+        xxhash64(id) — quadratic cost drops to ~s*max/2, the work
+        spreads across the cluster, and pairing inside each sub-bucket
+        is preserved (true dups in a hot bucket nearly always share
+        other, colder buckets too, so pair recall loss is negligible —
+        asserted by the recall tests). Buckets beyond ``salt_cap`` are
+        stop-patterns and are dropped outright.
+      * "drop": exclude the bucket entirely (the conservative mode).
+
+    Returns (pairs, dropped_buckets_metrics) — dropped/salted buckets
+    are reported, never silently eaten.
     """
     key = ["family", "band", "bucket"]
     sizes = buckets.groupBy(*key).agg(F.count("*").alias("bucket_size"))
+    hard_cap = max_bucket_size if hot_bucket_policy == "drop" else salt_cap
     admitted = sizes.where(
-        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= max_bucket_size)
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= hard_cap)
     )
-    dropped = sizes.where(F.col("bucket_size") > max_bucket_size)
+    dropped = sizes.where(F.col("bucket_size") > hard_cap)
 
-    b = buckets.join(admitted.select(*key), key, "left_semi")
+    # NB not broadcast: `admitted` has one row per distinct bucket —
+    # billions at corpus scale. Equi-join on the bucket key co-shuffles
+    # with the pairing join; AQE broadcasts it when it is in fact small.
+    b = buckets.join(admitted.select(*key, "bucket_size"), key)
+    if hot_bucket_policy == "salt":
+        n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size))
+        b = b.withColumn(
+            "salt", F.pmod(F.xxhash64("id"), n_sub).cast("int")
+        ).drop("bucket_size")
+        key = key + ["salt"]
+    else:
+        b = b.drop("bucket_size")
+
     left = b.select(*key, F.col("id").alias("id_l"))
     right = b.select(*key, F.col("id").alias("id_r"))
     pairs = (

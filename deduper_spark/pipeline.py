@@ -239,6 +239,39 @@ class DedupPipeline:
 
     # --------------------------------------------------------------- run
 
+    def explain_key(self, df: DataFrame) -> tuple[str, str]:
+        """Sample-hash debug probe (reference getSampleHash,
+        Deduper.kt:407-421; golden DeduperTest.kt:427-428): the first
+        row's stringified exact key and its MD5 — config sanity check."""
+        from deduper_spark.functions.keys import stringify_expr
+
+        row = (
+            df.orderBy(self.config.order_col)
+            .select(
+                stringify_expr(["caption", "phash"]).alias("s"),
+                md5_key_expr(["caption", "phash"]).alias("h"),
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        return row["s"], row["h"]
+
+    def run_safe(self, spark: SparkSession, df: DataFrame) -> PipelineResult:
+        """Error-path contract (reference O28, Deduper.kt:280-309 and
+        DeduperTest.kt:466-481): failures yield a report with
+        success=False instead of raising."""
+        try:
+            return self.run(spark, df)
+        except Exception as exc:  # noqa: BLE001
+            report = DedupeReport(success=False)
+            self.metrics.append({"stage": "error", "error": f"{type(exc).__name__}: {exc}"})
+            empty = spark.createDataFrame([], "image_id string, cluster_id string")
+            return PipelineResult(
+                clusters=empty, survivors=df.limit(0), dupe_groups=empty,
+                edges=empty, hash_ledger=empty, report=report,
+                metrics=self.metrics,
+            )
+
     def run(self, spark: SparkSession, df: DataFrame) -> PipelineResult:
         t0 = time.time()
         self.metrics = []

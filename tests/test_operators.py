@@ -34,7 +34,8 @@ def test_candidate_pairs_and_hot_bucket_cap(spark):
     rows = [("a", 0, 1, "f"), ("b", 0, 1, "f"), ("c", 0, 1, "f")]
     rows += [(f"h{i}", 1, 2, "f") for i in range(5)]
     bb = spark.createDataFrame(rows, ["id", "band", "bucket", "family"])
-    pairs, dropped = candidate_pairs(bb, max_bucket_size=4)
+    pairs, dropped = candidate_pairs(bb, max_bucket_size=4,
+                                     hot_bucket_policy="drop")
     got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
     assert got == {("a", "b"), ("a", "c"), ("b", "c")}
     d = dropped.collect()
