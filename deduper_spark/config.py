@@ -35,6 +35,15 @@ class FuzzyConfig:
     phash_band_bits: int = 16          # 64-bit phash split into 4 bands of 16 bits
     # verification
     psnr_threshold_db: float = 40.0
+    # pixel-verification mode: "full" decodes every phash-candidate pair
+    # (exhaustive — tests, audits); "audit" decodes a deterministic
+    # sample of <= psnr_audit_pairs pairs and fails the run if any
+    # sampled pair violates the PSNR invariant. At corpus scale the
+    # bytes-pair join is the single most expensive shuffle (2x image
+    # payload per candidate pair) — phash Hamming is the production
+    # verifier, PSNR the statistical fidelity audit.
+    psnr_mode: str = "full"
+    psnr_audit_pairs: int = 20_000
     # skew control: max rows admitted per LSH bucket before salting/capping
     max_bucket_size: int = 200
 

@@ -6,16 +6,26 @@ permutation-minima over the shingle-hash SET, so Pr[sig_i(A)==sig_i(B)]
 = Jaccard(A, B).
 
 Kernel design (NumPy, no per-row Python beyond ragged-array offsets):
-  * inputs are 64-bit shingle hashes computed JVM-side (xxhash64);
-  * each "permutation" is XOR with a seeded 64-bit salt followed by
-    the splitmix64 finalizer — a full-width mixing BIJECTION of the
-    uint64 space, so minima behave min-wise-independently. (A plain
-    affine (a*h+b) mod p over 32-bit inputs wraps only a few times,
-    stays piecewise-monotonic, and biases the Jaccard estimate high —
-    measured +0.13 at J=0.79 — so it is deliberately NOT used.)
-  * the whole Arrow batch is flattened once, the (num_perm, total)
-    matrix is reduced with np.minimum.reduceat per row segment —
-    one vectorized pass per batch, not per row.
+
+  * inputs are 64-bit shingle hashes computed JVM-side (xxhash64),
+    re-mixed with a seeded splitmix64 (full-width mixing bijection —
+    a plain affine (a*h+b) mod p over narrow inputs stays piecewise-
+    monotonic and biases the Jaccard estimate high, measured +0.13 at
+    J=0.79, so it is deliberately NOT used);
+
+  * the signature is ONE-PERMUTATION HASHING with densification
+    (Li/Owen/Zhang OPH + Shrivastava-style directional densification,
+    both public algorithms): each element is hashed once, routed to
+    bucket = top log2(k) bits, min-reduced within its bucket, and
+    empty buckets borrow cyclically (log-doubling passes). Cost is
+    O(m + k) per row instead of the k-independent-permutations
+    O(m*k) — the naive matrix kernel moved ~220 KB/row of memory
+    traffic and collapsed to 23% efficiency under 32 concurrent
+    workers (measured); OPH moves ~10 KB/row.
+
+  * identical sets -> identical signatures (pure function of the set);
+    Pr[sig_i(A)==sig_i(B)] ~= Jaccard(A,B) — the empirical gate is the
+    pipeline recall/precision >= 0.99 test.
 """
 
 from __future__ import annotations
@@ -32,33 +42,65 @@ def _salts(num_perm: int, seed: int) -> np.ndarray:
     return rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    # public-domain splitmix64 finalizer; uint64 wraparound is intended
-    x = (x + np.uint64(0x9E3779B97F4A7C15))
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+def _splitmix64_inplace(x: np.ndarray) -> np.ndarray:
+    """public-domain splitmix64 finalizer, in place (one scratch buffer)."""
+    tmp = np.empty_like(x)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    np.right_shift(x, np.uint64(30), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    x ^= tmp
+    return x
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
-    salts = _salts(num_perm, seed)
+    if num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two (OPH bucketing)")
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
     n = len(hash_lists)
     if n == 0:
         return pd.Series([], dtype=object)
-    # empty shingle sets get one sentinel element so the signature exists
+    salt = _salts(1, seed)[0]
+    # null/empty shingle sets get one sentinel element so the signature
+    # exists (null captions are tolerated, reference DeduperTest.kt:353-392)
     safe = [
-        np.asarray(v, dtype=np.int64) if len(v) else np.zeros(1, dtype=np.int64)
+        np.asarray(v, dtype=np.int64) if v is not None and len(v)
+        else np.zeros(1, dtype=np.int64)
         for v in hash_lists
     ]
-    lens = np.array([len(v) for v in safe])
+    lens = np.array([len(v) for v in safe], dtype=np.int64)
     flat = np.concatenate(safe).astype(np.uint64)
     with np.errstate(over="ignore"):
-        m = _splitmix64(flat[None, :] ^ salts[:, None])  # (num_perm, total)
-    offsets = np.zeros(n, dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    sig = np.minimum.reduceat(m, offsets, axis=1)  # (num_perm, n)
-    sig_i64 = sig.astype(np.int64).T
-    return pd.Series(list(sig_i64))
+        flat ^= salt
+        _splitmix64_inplace(flat)
+        bucket = (flat >> shift).astype(np.int64)          # [0, num_perm)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = row * num_perm + bucket
+        order = np.lexsort((flat, key))                    # by key, then value
+        k_sorted = key[order]
+        first = np.ones(len(k_sorted), dtype=bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        sig = np.full(n * num_perm, _EMPTY, dtype=np.uint64)
+        sig[k_sorted[first]] = flat[order][first]
+        sig = sig.reshape(n, num_perm)
+        # densification: empty buckets borrow cyclically (log-doubling
+        # passes) — deterministic function of the set, so identical
+        # sets keep identical signatures
+        s = 1
+        while s < num_perm and (sig == _EMPTY).any():
+            empty = sig == _EMPTY
+            donor = np.roll(sig, s, axis=1)
+            sig[empty] = donor[empty]
+            s <<= 1
+        sig[sig == _EMPTY] = np.uint64(0)  # fully-empty rows (can't happen
+        #                                   with the sentinel element above)
+    return pd.Series(list(sig.astype(np.int64)))
 
 
 def minhash_udf(num_perm: int = 128, seed: int = 42):

@@ -23,21 +23,26 @@ _BITS = np.arange(64, dtype=np.uint64)
 
 
 def simhash_kernel(hash_lists: pd.Series) -> pd.Series:
+    """Bit-vote SimHash. Memory-lean: 0/1 bit matrix via unpackbits
+    (uint8, 64 B/token), int32 segment sums, threshold 2*ones > m —
+    equivalent to the classic ±1 vote with sign(>0)."""
     n = len(hash_lists)
     if n == 0:
         return pd.Series([], dtype="int64")
     safe = [
-        np.asarray(v, dtype=np.int64) if len(v) else np.zeros(1, dtype=np.int64)
+        np.asarray(v, dtype=np.int64) if v is not None and len(v)
+        else np.zeros(1, dtype=np.int64)
         for v in hash_lists
     ]
-    lens = np.array([len(v) for v in safe])
-    flat = np.concatenate(safe).astype(np.uint64)
-    votes = (((flat[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int64)
-             * 2 - 1)  # (total, 64) in {-1, +1}
+    lens = np.array([len(v) for v in safe], dtype=np.int64)
+    flat = np.concatenate(safe).astype("<u8")
+    # (total, 64) 0/1 matrix, little-endian bit k of word -> column k
+    ones = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
-    sums = np.add.reduceat(votes, offsets, axis=0)          # (n, 64)
-    bits = (sums > 0).astype(np.uint64)
+    sums = np.add.reduceat(ones.astype(np.int32), offsets, axis=0)  # (n, 64)
+    bits = ((2 * sums) > lens[:, None]).astype(np.uint64)
     packed = (bits << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
     return pd.Series(packed.astype(np.int64))
 

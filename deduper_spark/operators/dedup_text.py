@@ -41,7 +41,7 @@ def doc_features(df: DataFrame, id_col: str = "doc_id",
     cfg = cfg or FuzzyConfig()
     out = df.select(
         F.col(id_col).alias("id"),
-        normalize_expr(text_col).alias("norm_text"),
+        normalize_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("norm_text"),
     ).withColumn("tokens", tokens_expr("norm_text"))
     out = out.withColumn(
         "shingle_hashes",

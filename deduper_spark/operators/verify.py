@@ -71,7 +71,10 @@ def verify_psnr(
     only — never the full corpus."""
     j = _attach(pairs, images, ["bytes"])
 
-    schema = "id_l string, id_r string, psnr double"
+    # families rides THROUGH the Arrow batch so the pair subtree is
+    # computed exactly once (a re-join against `pairs` would execute
+    # the whole candidate DAG twice)
+    schema = "id_l string, id_r string, families array<string>, psnr double"
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside: runs on executors
@@ -89,14 +92,13 @@ def verify_psnr(
                     p = -1.0  # undecodable format in this container
                 psnrs.append(p)
             yield pd.DataFrame(
-                {"id_l": pdf["id_l"], "id_r": pdf["id_r"], "psnr": psnrs}
+                {"id_l": pdf["id_l"], "id_r": pdf["id_r"],
+                 "families": pdf["families"], "psnr": psnrs}
             )
 
-    scored = j.select("id_l", "id_r", "bytes_l", "bytes_r").mapInPandas(
+    scored = j.select("id_l", "id_r", "families", "bytes_l", "bytes_r").mapInPandas(
         compute, schema=schema
     )
-    return (
-        pairs.join(scored, ["id_l", "id_r"])
-        .where(F.col("psnr") >= psnr_threshold_db)
-        .select("id_l", "id_r", "families", "psnr")
+    return scored.where(F.col("psnr") >= psnr_threshold_db).select(
+        "id_l", "id_r", "families", "psnr"
     )

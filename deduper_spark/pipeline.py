@@ -131,9 +131,13 @@ class DedupPipeline:
         cfg = self.config.fuzzy
         out = df.select(
             F.col(self.config.order_col).alias("id"),
-            "caption",
+            # null captions tolerated (reference null test,
+            # DeduperTest.kt:353-392): normalize over '' not null
+            F.coalesce(F.col("caption"), F.lit("")).alias("caption"),
             "phash",
-            normalize_expr("caption").alias("norm_caption"),
+            normalize_expr(F.coalesce(F.col("caption"), F.lit(""))).alias(
+                "norm_caption"
+            ),
         )
         out = out.withColumn("tokens", tokens_expr("norm_caption"))
         out = out.withColumn(
@@ -204,12 +208,39 @@ class DedupPipeline:
             ham_ok = verify_hamming(pairs, feats, "phash",
                                     cfg.phash_hamming_threshold).drop("hamming")
             if self.verify_pixels:
-                ham_ok = verify_psnr(
-                    ham_ok,
-                    images.select(F.col(self.config.order_col).alias("id"),
-                                  "bytes"),
-                    cfg.psnr_threshold_db,
-                ).drop("psnr")
+                img = images.select(
+                    F.col(self.config.order_col).alias("id"), "bytes"
+                )
+                if cfg.psnr_mode == "audit":
+                    # deterministic sample cap: decode cost and the
+                    # bytes-pair shuffle stay bounded at any corpus size;
+                    # a violation in the sample fails the run. One action:
+                    # verify_psnr with threshold -inf returns every sampled
+                    # pair scored, aggregated to (sampled, passed) here.
+                    sampled = ham_ok.where(
+                        F.pmod(F.xxhash64("id_l", "id_r"), F.lit(4)) == 0
+                    ).limit(cfg.psnr_audit_pairs)
+                    scored = verify_psnr(sampled, img, float("-inf"))
+                    row = scored.agg(
+                        F.count("*").alias("sampled"),
+                        F.sum((F.col("psnr") >= cfg.psnr_threshold_db)
+                              .cast("long")).alias("passed"),
+                    ).collect()[0]
+                    n_sampled = row["sampled"]
+                    n_passed = row["passed"] or 0
+                    self.metrics.append(
+                        {"stage": "psnr_audit", "sampled": n_sampled,
+                         "passed": n_passed}
+                    )
+                    if n_passed < n_sampled:
+                        raise RuntimeError(
+                            f"PSNR fidelity audit failed: {n_sampled - n_passed}"
+                            f" of {n_sampled} sampled pairs below "
+                            f"{cfg.psnr_threshold_db} dB"
+                        )
+                else:
+                    ham_ok = verify_psnr(ham_ok, img, cfg.psnr_threshold_db
+                                         ).drop("psnr")
             verified.append(ham_ok)
 
         if "substring" in self.families:

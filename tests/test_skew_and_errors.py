@@ -50,6 +50,25 @@ def test_run_safe_failure_report(spark):
     assert res.clusters.count() == 0
 
 
+def test_null_and_empty_captions_tolerated(spark):
+    """Null tolerance (reference DeduperTest.kt:353-392): null/empty
+    captions flow through every signature family without crashing and
+    cluster together via the exact/phash paths."""
+    pdf = make_pdf(42, 20)
+    df = spark.createDataFrame(pdf)
+    patched = df.selectExpr(
+        "image_id", "bytes", "w", "h", "fmt",
+        "CASE WHEN image_id = 'img000000004' THEN NULL "
+        "     WHEN image_id = 'img000000005' THEN '' ELSE caption END AS caption",
+        "phash",
+    )
+    res = DedupPipeline(DedupConfig()).run(spark, patched)
+    assert res.report.success
+    assert res.clusters.count() == 20
+    got = {r["image_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert got["img000000004"] == "img000000004"  # nulled caption → singleton
+
+
 def test_explain_key_probe(spark):
     pdf = make_pdf(42, 10)
     df = spark.createDataFrame(pdf)
