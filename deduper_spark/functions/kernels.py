@@ -1,0 +1,123 @@
+"""NumPy signature kernels — DELIBERATELY pyspark-free.
+
+These are the functions that pandas-UDF closures reference, so every
+Python worker imports THIS module. Keeping pyspark out of the import
+graph matters: 32 workers concurrently importing pyspark.sql on first
+use cost ~45 s of wall clock (measured) before a single batch ran.
+Only numpy/pandas here (both already loaded by the worker runtime).
+
+Algorithms:
+  * minhash_kernel — one-permutation hashing (Li/Owen/Zhang) with
+    cyclic log-doubling densification (Shrivastava-style): O(m + k)
+    per row; identical sets → identical signatures.
+  * simhash_kernel — bit-vote SimHash via unpackbits + segment sums.
+See minhash.py / simhash.py for the Spark-facing wrappers and the full
+design rationale (incl. why affine (a*h+b) mod p was rejected).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def salts(num_perm: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << 64, size=num_perm, dtype=np.uint64)
+
+
+def splitmix64_inplace(x: np.ndarray) -> np.ndarray:
+    """public-domain splitmix64 finalizer, in place (one scratch buffer)."""
+    tmp = np.empty_like(x)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    np.right_shift(x, np.uint64(30), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    np.right_shift(x, np.uint64(27), out=tmp)
+    x ^= tmp
+    x *= np.uint64(0x94D049BB133111EB)
+    np.right_shift(x, np.uint64(31), out=tmp)
+    x ^= tmp
+    return x
+
+
+def _safe_lists(hash_lists: pd.Series) -> list[np.ndarray]:
+    # null/empty sets get one sentinel element so the signature exists
+    # (null captions tolerated — reference DeduperTest.kt:353-392)
+    return [
+        np.asarray(v, dtype=np.int64) if v is not None and len(v)
+        else np.zeros(1, dtype=np.int64)
+        for v in hash_lists
+    ]
+
+
+def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
+    if num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two (OPH bucketing)")
+    shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+    n = len(hash_lists)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    salt = salts(1, seed)[0]
+    safe = _safe_lists(hash_lists)
+    lens = np.array([len(v) for v in safe], dtype=np.int64)
+    flat = np.concatenate(safe).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        flat ^= salt
+        splitmix64_inplace(flat)
+        bucket = (flat >> shift).astype(np.int64)          # [0, num_perm)
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = row * num_perm + bucket
+        order = np.lexsort((flat, key))                    # by key, then value
+        k_sorted = key[order]
+        first = np.ones(len(k_sorted), dtype=bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        sig = np.full(n * num_perm, _EMPTY, dtype=np.uint64)
+        sig[k_sorted[first]] = flat[order][first]
+        sig = sig.reshape(n, num_perm)
+        # densification: empty buckets borrow cyclically (log-doubling) —
+        # deterministic function of the set
+        s = 1
+        while s < num_perm and (sig == _EMPTY).any():
+            empty = sig == _EMPTY
+            donor = np.roll(sig, s, axis=1)
+            sig[empty] = donor[empty]
+            s <<= 1
+        sig[sig == _EMPTY] = np.uint64(0)
+    return pd.Series(list(sig.astype(np.int64)))
+
+
+def simhash_kernel(hash_lists: pd.Series) -> pd.Series:
+    """0/1 bit matrix via unpackbits (uint8), int32 segment sums,
+    threshold 2*ones > m — identical to the classic ±1 sign vote."""
+    n = len(hash_lists)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+    safe = _safe_lists(hash_lists)
+    lens = np.array([len(v) for v in safe], dtype=np.int64)
+    flat = np.concatenate(safe).astype("<u8")
+    ones = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                         axis=1, bitorder="little")
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    sums = np.add.reduceat(ones.astype(np.int32), offsets, axis=0)  # (n, 64)
+    bits = ((2 * sums) > lens[:, None]).astype(np.uint64)
+    packed = (bits << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
+    return pd.Series(packed.astype(np.int64))
+
+
+def jaccard_estimate(sig_a, sig_b) -> float:
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def hyperplane_kernel(vecs: pd.Series, planes: np.ndarray,
+                      weights: np.ndarray) -> pd.Series:
+    if len(vecs) == 0:
+        return pd.Series([], dtype="int64")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    bits = (m @ planes) > 0
+    packed = (bits.astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return pd.Series(packed.astype(np.int64))
