@@ -318,6 +318,27 @@ def q_image_features(spark, sf_dir):
     return extract_image_features(df, "image_id", "bytes")
 
 
+def q_doc_substring_sa(spark, sf_dir):
+    """Suffix-array exact-substring pass (per-shard SA+LCP kernel —
+    no SQL oracle: rows-only check)."""
+    from deduper_spark.operators.suffix import substring_overlap_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("prefix words here "), F.col("text"),
+                 F.lit(" and trailing words")).alias("text"),
+    )
+    aug = d.unionByName(wrapped).select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.lower(F.col("text")).alias("norm_caption"),
+    ).coalesce(1)
+    return substring_overlap_pairs(aug, min_len=45).select(
+        F.col("id_l").cast("long").alias("id_l"),
+        F.col("id_r").cast("long").alias("id_r"),
+    )
+
+
 def q_emb_lsh_ann(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (pandas-UDF signature — no oracle)."""
     from deduper_spark.operators.ann import lsh_topk
@@ -353,6 +374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (non-SQL-expressible: pandas-UDF sketches / pipeline)
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_simhash": q_doc_simhash,
+        "doc_substring_sa": q_doc_substring_sa,
         "image_dedup_clusters": q_image_dedup_clusters,
         "image_features": q_image_features,
         "emb_lsh_ann": q_emb_lsh_ann,

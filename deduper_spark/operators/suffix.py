@@ -25,6 +25,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def substring_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "norm_caption",
+    min_len: int = 40,
+    shards: int | None = None,
+) -> DataFrame:
+    """Pairs sharing ANY substring of length >= min_len characters —
+    the per-shard SUFFIX-ARRAY pass (functions/suffix_array.py:
+    prefix-doubling SA + Kasai LCP over the shard's concatenated
+    text), i.e. the exact-substring dedup used on web-scale training
+    corpora (catches long verbatim overlaps MinHash misses entirely).
+
+    Scale design: docs are hash-sharded; the SA is built per shard
+    inside mapInPandas (memory ~ O(shard chars)). Detection is
+    shard-LOCAL — cross-shard pairs are the containment join's job
+    (containment_pairs, exact for full-caption containment); at corpus
+    scale you run several shard seeds or MinHash-over-rare-anchors to
+    close the gap. Each shard's work is independent — no shuffle after
+    the initial hash repartition.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    if shards:
+        sel = sel.repartition(shards, F.xxhash64("id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.suffix_array import shared_substring_pairs
+
+        ids: list[str] = []
+        texts: list[str] = []
+        for pdf in batches:
+            ids.extend(pdf["id"].tolist())
+            texts.extend((pdf["t"].fillna("")).tolist())
+        pairs = shared_substring_pairs(texts, ids, min_len)
+        yield pd.DataFrame(sorted(pairs), columns=["id_l", "id_r"])
+
+    out = sel.mapInPandas(run, schema="id_l string, id_r string")
+    return out.distinct().withColumn("families", F.array(F.lit("substring_sa")))
+
+
 def containment_pairs(
     feats: DataFrame,
     max_anchor_bucket: int = 1000,
