@@ -210,10 +210,13 @@ def q_token_count(spark, sf_dir):
 
 
 def q_quality_score(spark, sf_dir):
-    from deduper_spark.functions.textstats import quality_score_expr
+    """Quality scoring in integer micro-units — BIGINT-only arithmetic
+    so the DuckDB oracle matches bit-for-bit (floats never belong in
+    hash-compared columns)."""
+    from deduper_spark.functions.textstats import quality_micro_expr
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", quality_score_expr("text").alias("quality"))
+    return d.select("doc_id", quality_micro_expr("text").alias("quality_micro"))
 
 
 def q_lang_id(spark, sf_dir):
@@ -241,12 +244,16 @@ def _emb_aug(spark, sf_dir):
 
 
 def q_emb_cosine_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (>=0.99) blocked by label."""
+    """Embedding-cosine near-dup pairs (>=0.99), blocked by multiprobe
+    hyperplane-LSH buckets (the scale path — no semantic blocker, no
+    all-pairs join). The oracle is the UNBLOCKED all-pairs predicate:
+    at cosine >= 0.99 the probe-radius-1 blocker is exhaustive here,
+    which is exactly the recall property being asserted."""
     from deduper_spark.operators.dedup_text import embedding_cosine_pairs
 
     aug = _emb_aug(spark, sf_dir)
     return embedding_cosine_pairs(
-        aug, "vec_id", "embedding", "label", threshold=0.99
+        aug, "vec_id", "embedding", threshold=0.99
     ).select(
         F.col("id_l").cast("long").alias("id_l"),
         F.col("id_r").cast("long").alias("id_r"),
@@ -269,7 +276,13 @@ def q_ann_topk(spark, sf_dir):
 # --------------------------------------- rows-only (non-SQL-expressible)
 
 def q_doc_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup doc pairs (pandas-UDF sketch — no oracle)."""
+    """MinHash+LSH near-dup doc pairs, verified by EXACT shingle-set
+    Jaccard >= 0.7. bands=32 x rows=4 puts the banding S-curve
+    threshold at (1/32)^(1/4) ~ 0.42, far below the 0.7 verification
+    cut, so candidate recall at >= 0.7 is ~1-2e-14 per pair — the
+    output equals the all-pairs exact predicate, which IS the DuckDB
+    oracle (the sketch is the accelerator, the predicate the contract)."""
+    from deduper_spark.config import FuzzyConfig
     from deduper_spark.operators.dedup_text import minhash_lsh_doc_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -278,7 +291,8 @@ def q_doc_minhash_lsh(spark, sf_dir):
         F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
     )
     aug = d.unionByName(near)
-    return minhash_lsh_doc_pairs(aug, "doc_id", "text").select(
+    cfg = FuzzyConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7)
+    return minhash_lsh_doc_pairs(aug, "doc_id", "text", cfg).select(
         F.col("id_l").cast("long").alias("id_l"),
         F.col("id_r").cast("long").alias("id_r"),
     )
@@ -319,9 +333,11 @@ def q_image_features(spark, sf_dir):
 
 
 def q_doc_substring_sa(spark, sf_dir):
-    """Suffix-array exact-substring pass (per-shard SA+LCP kernel —
-    no SQL oracle: rows-only check)."""
-    from deduper_spark.operators.suffix import substring_overlap_pairs
+    """Exact-substring pass: winnowed fingerprint candidates (recall
+    1.0 by the winnowing guarantee) + literal per-pair verification —
+    EXACT, so the DuckDB 45-char-window join oracle reproduces it.
+    Fully distributed: no doc sharding, no coalesce anywhere."""
+    from deduper_spark.operators.suffix import winnowed_substring_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     wrapped = d.where(F.col("doc_id") % 9 == 0).select(
@@ -332,20 +348,76 @@ def q_doc_substring_sa(spark, sf_dir):
     aug = d.unionByName(wrapped).select(
         F.col("doc_id").cast("string").alias("id"),
         F.lower(F.col("text")).alias("norm_caption"),
-    ).coalesce(1)
-    return substring_overlap_pairs(aug, min_len=45).select(
-        F.col("id_l").cast("long").alias("id_l"),
-        F.col("id_r").cast("long").alias("id_r"),
+    )
+    pairs = winnowed_substring_pairs(aug, min_len=45)
+    # pair orientation inside the op is string-lexicographic; the
+    # oracle compares numeric ids — re-canonicalize numerically
+    l_ = F.col("id_l").cast("long")
+    r_ = F.col("id_r").cast("long")
+    return pairs.select(
+        F.least(l_, r_).alias("id_l"), F.greatest(l_, r_).alias("id_r")
     )
 
 
+def q_pipeline_incremental(spark, sf_dir):
+    """Flagship DedupPipeline in INCREMENTAL mode (exact family slice):
+    a seen-hash ledger from a simulated prior run (even doc_ids) is
+    preloaded via DedupConfig.seen_hashes_path; seen rows drop out
+    before clustering and the output is the fresh rows' clusters —
+    exactly reproducible in SQL (md5 over 'caption, phash' with
+    phash := length(text), so the key is ANSI-expressible)."""
+    import tempfile, os  # noqa: E401
+
+    from deduper_spark.config import DedupConfig
+    from deduper_spark.functions.keys import md5_key_expr
+    from deduper_spark.pipeline import DedupPipeline
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.unionByName(
+        d.where(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    corpus = aug.select(
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("image_id"),
+        F.col("text").alias("caption"),
+        F.length("text").cast("long").alias("phash"),
+    )
+    seen_dir = os.path.join(
+        tempfile.gettempdir(), "deduper_spark_q_pipeline_incr", "seen"
+    )
+    (
+        corpus.where(F.col("image_id").cast("long") % 2 == 0)
+        .select(md5_key_expr(["caption", "phash"]).alias("hash"))
+        .distinct()
+        .write.mode("overwrite").parquet(seen_dir)
+    )
+    pipe = DedupPipeline(
+        DedupConfig(seen_hashes_path=seen_dir),
+        families=("exact",),
+        verify_pixels=False,
+        collect_metrics=False,
+    )
+    res = pipe.run(spark, corpus)
+    return res.clusters.select("image_id", "cluster_id")
+
+
 def q_emb_lsh_ann(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (pandas-UDF signature — no oracle)."""
+    """Hyperplane-LSH bucketed ANN on the retrieval task LSH is FOR:
+    near-duplicate lookup. Queries are copies of corpus vectors; the
+    true nearest neighbor (the source, cosine 1.0) shares the query's
+    bucket by construction — identical vectors have identical
+    signatures — so bucketed top-1 EQUALS brute-force top-1 and the
+    exact brute-force SQL is the oracle. (Generic top-k at recall 1.0
+    would be exact NN — no single-table LSH can promise that; rank >1
+    neighbors are where ANN is allowed to be approximate.)"""
     from deduper_spark.operators.ann import lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < 20)
-    return lsh_topk(e, q, dim=64, k=3, n_planes=8).select(
+    q = e.where((F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 200)).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return lsh_topk(e, q, dim=64, k=1, n_planes=8, probe_radius=1).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         F.col("rank").cast("long").alias("rank"),
@@ -371,13 +443,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_dups": q_emb_cosine_dups,
         "ann_topk": q_ann_topk,
-        # rows-only (non-SQL-expressible: pandas-UDF sketches / pipeline)
+        "pipeline_incremental": q_pipeline_incremental,
         "doc_minhash_lsh": q_doc_minhash_lsh,
-        "doc_simhash": q_doc_simhash,
         "doc_substring_sa": q_doc_substring_sa,
         "image_dedup_clusters": q_image_dedup_clusters,
-        "image_features": q_image_features,
         "emb_lsh_ann": q_emb_lsh_ann,
+        # rows-only (non-SQL-expressible: xxhash64 bit-vote sketch /
+        # DCT phash features have no ANSI equivalent)
+        "doc_simhash": q_doc_simhash,
+        "image_features": q_image_features,
     }
 
 
@@ -385,7 +459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_LI_HASH = "upper(md5(concat_ws(', ', l_orderkey, l_partkey)))"
+_LI_HASH = (
+    "upper(md5(concat_ws(', ', coalesce(l_orderkey::VARCHAR, 'null'), "
+    "coalesce(l_partkey::VARCHAR, 'null'))))"
+)
 
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 _TOKS = f"string_split_regex({_NORM}, '\\s+')"
@@ -522,17 +599,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_score": f"""
-            SELECT doc_id, round(
+            SELECT doc_id, (
                 least(CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\\s+')) END
-                      / 50.0, 1.0) * 0.5
-                + least(round(len(list_filter({lo_toks},
-                          t -> list_contains({_SW['en']}, t)))::DOUBLE /
-                        greatest(len({lo_toks}), 1), 6) * 5.0, 1.0) * 0.3
-                + (1.0 - round((length(text) -
-                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE /
-                     greatest(length(text), 1), 6)) * 0.2,
-                6)::DOUBLE AS quality
+                           ELSE len(string_split_regex(trim(text), '\\s+'))
+                      END::BIGINT * 10000, 500000)
+                + least(floor(len(list_filter({lo_toks},
+                            t -> list_contains({_SW['en']}, t)))::BIGINT
+                          * 1500000
+                          / greatest(len({lo_toks}), 1))::BIGINT, 300000)
+                + 200000 - floor((length(text) -
+                     length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::BIGINT
+                     * 200000 / greatest(length(text), 1))::BIGINT
+                )::BIGINT AS quality_micro
             FROM documents
         """,
         "lang_id": f"""
@@ -556,21 +634,123 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_cosine_dups": """
             WITH aug AS (
-                SELECT vec_id, embedding, label FROM embeddings
+                SELECT vec_id, embedding FROM embeddings
                 UNION ALL
-                SELECT vec_id + 10000, embedding, label
+                SELECT vec_id + 10000, embedding
                 FROM embeddings WHERE vec_id % 10 = 0
             ),
             n AS (
-                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                SELECT vec_id, embedding::DOUBLE[] AS v,
                        sqrt(list_sum(list_transform(embedding::DOUBLE[],
                                                     x -> x*x))) AS nrm
                 FROM aug
             )
             SELECT a.vec_id::BIGINT AS id_l, b.vec_id::BIGINT AS id_r
-            FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_sum(list_transform(range(64),
-                      i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm) >= 0.99
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(range(64),
+                      i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6) >= 0.99
+        """,
+        "pipeline_incremental": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+            ),
+            k AS (
+                SELECT lpad(doc_id::VARCHAR, 9, '0') AS image_id,
+                       upper(md5(text || ', ' || length(text)::VARCHAR)) AS h,
+                       doc_id
+                FROM aug
+            ),
+            fresh AS (
+                SELECT image_id, h FROM k
+                WHERE h NOT IN (SELECT DISTINCT h FROM k WHERE doc_id % 2 = 0)
+            )
+            SELECT image_id,
+                   min(image_id) OVER (PARTITION BY h) AS cluster_id
+            FROM fresh
+        """,
+        "doc_minhash_lsh": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz extra tail'
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_distinct({shingles5}) AS sh
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM aug)
+            )
+            SELECT a.doc_id::BIGINT AS id_l, b.doc_id::BIGINT AS id_r
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+                  >= 0.7
+        """,
+        "emb_lsh_ann": """
+            WITH n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x*x))) AS nrm
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id + 10000 AS query_id, v, nrm FROM n
+                WHERE vec_id % 10 = 0 AND vec_id < 200
+            ),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       list_sum(list_transform(range(64),
+                           i -> q.v[i+1] * c.v[i+1])) / (q.nrm * c.nrm) AS cosine
+                FROM q JOIN n c ON true
+            )
+            SELECT query_id::BIGINT AS query_id,
+                   neighbor_id::BIGINT AS neighbor_id, rnk::BIGINT AS rank
+            FROM (SELECT query_id, neighbor_id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC,
+                                                     neighbor_id ASC) rnk
+                  FROM scored)
+            WHERE rnk <= 1
+        """,
+        "image_dedup_clusters": """
+            -- planted-truth golden: the synthetic corpus
+            -- (deduper_spark/synth.py) plants one dup clique per block
+            -- of 10 ids (roles 6..9 duplicate roles 0..3), so the
+            -- expected clusters are a pure function of the index; the
+            -- pipeline must reproduce them exactly (recall AND
+            -- precision 1.0 — the north rule's >= 0.99 bar)
+            WITH idx AS (SELECT unnest(range(300)) AS i),
+            m AS (SELECT i, (i // 10) * 10 AS blk, i % 10 AS r FROM idx),
+            c AS (SELECT i, CASE WHEN r = 6 THEN blk + 0
+                                 WHEN r = 7 THEN blk + 1
+                                 WHEN r = 8 THEN blk + 2
+                                 WHEN r = 9 THEN blk + 3
+                                 ELSE i END AS base
+                  FROM m)
+            SELECT 'img' || lpad(i::VARCHAR, 9, '0') AS image_id,
+                   'img' || lpad(base::VARCHAR, 9, '0') AS cluster_id
+            FROM c
+        """,
+        "doc_substring_sa": """
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000,
+                       'prefix words here ' || text || ' and trailing words'
+                FROM documents WHERE doc_id % 9 = 0
+            ),
+            norm AS (SELECT doc_id, lower(text) AS t FROM aug),
+            w AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(length(t) - 44),
+                           i -> substr(t, i + 1, 45)))) AS win
+                FROM norm WHERE length(t) >= 45
+            )
+            SELECT DISTINCT a.doc_id::BIGINT AS id_l, b.doc_id::BIGINT AS id_r
+            FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
         """,
         "ann_topk": """
             WITH n AS (

@@ -16,15 +16,29 @@ from pyspark.sql import functions as F
 
 KEY_SEPARATOR = ", "
 
+# Kotlin renders a null element as the literal "null" in joinToString;
+# SqlUtils.stringifyRow joins rs.getString(col) values (Deduper.kt:195),
+# so a NULL column contributes a "null" token AND keeps its separator.
+NULL_TOKEN = "null"
+
 
 def stringify_expr(hash_keys: list[str] | tuple[str, ...]) -> Column:
-    """concat_ws(', ', cols...) over string-cast key columns.
+    """Every selected column contributes exactly one token (NULL →
+    'null'), joined with ', ' in user key order.
 
-    NOTE concat_ws skips NULLs (so a NULL key col collapses like the
-    reference's stringification of absent values) — nulls are tolerated
-    in sources (reference null test: DeduperTest.kt:353-392).
+    Plain concat_ws would SKIP a NULL column including its separator,
+    making (a, NULL, b) stringify identically to (a, b, NULL) — two
+    distinct rows silently merged under one MD5 key. The reference
+    tolerates null key columns (null golden: DeduperTest.kt:353-392),
+    so each column is null-coalesced BEFORE the join.
     """
-    return F.concat_ws(KEY_SEPARATOR, *[F.col(c).cast("string") for c in hash_keys])
+    return F.concat_ws(
+        KEY_SEPARATOR,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
+            for c in hash_keys
+        ],
+    )
 
 
 def md5_key_expr(hash_keys: list[str] | tuple[str, ...]) -> Column:
@@ -32,7 +46,12 @@ def md5_key_expr(hash_keys: list[str] | tuple[str, ...]) -> Column:
 
 
 def xxhash_key_expr(hash_keys: list[str] | tuple[str, ...]) -> Column:
-    return F.xxhash64(*[F.col(c).cast("string") for c in hash_keys])
+    return F.xxhash64(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(NULL_TOKEN))
+            for c in hash_keys
+        ]
+    )
 
 
 def resolve_hash_keys(df: DataFrame, hash_keys: tuple[str, ...]) -> list[str]:

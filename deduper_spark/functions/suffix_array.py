@@ -68,13 +68,22 @@ def shared_substring_pairs(
     """All id pairs whose texts share a substring of length >= min_len.
 
     Concatenate with unique sentinels (code points outside the text
-    alphabet), build SA+LCP once, then scan maximal runs of suffixes
-    with LCP >= min_len: every pair of DISTINCT docs inside a run
-    shares such a substring. Runs are reduced to their distinct doc
-    sets (bounded per run) so output stays near-linear in practice.
+    alphabet), build the SA once, then find maximal runs of SA-adjacent
+    suffixes whose min_len-prefixes agree: every pair of DISTINCT docs
+    inside a run shares such a substring.
+
+    The LCP >= min_len test is VECTORIZED: lcp(sa[i-1], sa[i]) >=
+    min_len iff the two suffixes' min_len-char window hashes agree
+    (gram_hashes — one vectorized pass over the corpus), replacing the
+    per-character Python Kasai loop on this path (kasai_lcp stays for
+    full-LCP analytics). A hash collision can only ADD a candidate
+    pair, never drop one; every emitted pair is confirmed literally
+    (shares_substring), so output is exact.
     """
     if not texts:
         return set()
+    from deduper_spark.functions.winnow import gram_hashes, shares_substring
+
     codes = []
     owners = []
     for d, t in enumerate(texts):
@@ -86,26 +95,33 @@ def shared_substring_pairs(
         owners.append(np.full(len(arr) + 1, d, dtype=np.int64))
     s = np.concatenate(codes)
     owner = np.concatenate(owners)
+    n = len(s)
+    if n < min_len:
+        return set()
     sa = build_suffix_array(s)
-    lcp = kasai_lcp(s, sa)
     own_sa = owner[sa]
 
-    pairs: set[tuple[str, str]] = set()
-    i = 1
-    n = len(s)
-    while i < n:
-        if lcp[i] >= min_len:
-            j = i
-            docs = {int(own_sa[i - 1])}
-            while j < n and lcp[j] >= min_len:
-                docs.add(int(own_sa[j]))
-                j += 1
-            dl = sorted(docs)
-            for a in range(len(dl)):
-                for b in range(a + 1, len(dl)):
-                    pa, pb = ids[dl[a]], ids[dl[b]]
-                    pairs.add((pa, pb) if pa < pb else (pb, pa))
-            i = j
-        else:
-            i += 1
-    return pairs
+    # window hash of the min_len-prefix of every suffix (0 where the
+    # suffix is shorter than min_len — those positions are 'invalid')
+    gh = gram_hashes(s.astype(np.uint64), min_len)
+    pref = np.zeros(n, dtype=np.uint64)
+    pref[: len(gh)] = gh
+    valid = sa <= n - min_len
+    adj = valid[1:] & valid[:-1] & (pref[sa[1:]] == pref[sa[:-1]])
+    eq = np.concatenate(([False], adj))  # eq[i]: lcp(i-1, i) >= min_len
+    run_start = np.flatnonzero(eq & ~np.concatenate(([False], eq[:-1])))
+    run_end = np.flatnonzero(eq & ~np.concatenate((eq[1:], [False])))
+
+    cand: set[tuple[str, str]] = set()
+    for st, en in zip(run_start, run_end):
+        docs = np.unique(own_sa[st - 1 : en + 1])
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                pa, pb = ids[int(docs[a])], ids[int(docs[b])]
+                cand.add((pa, pb) if pa < pb else (pb, pa))
+    if not cand:
+        return cand
+    by_id = dict(zip(ids, texts))
+    return {
+        (a, b) for a, b in cand if shares_substring(by_id[a], by_id[b], min_len)
+    }

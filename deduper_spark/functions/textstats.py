@@ -67,6 +67,39 @@ def quality_score_expr(text: str | Column) -> Column:
     )
 
 
+def quality_micro_expr(text: str | Column) -> Column:
+    """Integer-exact quality score in micro-units [0, 1_000_000].
+
+    Same shape as quality_score_expr (length part w=0.5, stopword part
+    w=0.3, punctuation part w=0.2) but composed ONLY from BIGINT
+    arithmetic + floor division, so any ANSI engine reproduces it
+    bit-for-bit — floats never belong in hash-compared outputs:
+
+        min(n_tok * 10_000, 500_000)
+      + min(floor(sw_hits * 1_500_000 / n_split), 300_000)
+      + 200_000 - floor(n_punct * 200_000 / len(text))
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    tokens = F.split(F.lower(F.trim(t)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    hits = F.size(F.filter(tokens, lambda x: F.array_contains(sw, x))).cast("long")
+    n_split = F.greatest(F.size(tokens), F.lit(1)).cast("long")
+    n_tok = token_count_expr(t).cast("long")
+    n_len = F.greatest(F.length(t), F.lit(1)).cast("long")
+    n_punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    ).cast("long")
+    len_part = F.least(n_tok * 10_000, F.lit(500_000).cast("long"))
+    sw_part = F.least(
+        F.floor(hits * 1_500_000 / n_split).cast("long"),
+        F.lit(300_000).cast("long"),
+    )
+    punct_part = F.lit(200_000).cast("long") - F.floor(
+        n_punct * 200_000 / n_len
+    ).cast("long")
+    return (len_part + sw_part + punct_part).alias("quality_micro")
+
+
 def lang_id_expr(text: str | Column) -> Column:
     """Stopword-vote language ID over {en,de,fr,es}, 'und' when no hits.
     Ties break by fixed language order (en,de,fr,es)."""

@@ -86,6 +86,22 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return _sig
 
 
+def probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks enumerating all buckets within Hamming ``radius`` of a
+    signature — standard multiprobe LSH (probe neighbor buckets instead
+    of building more tables)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,15 +111,26 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    probe_radius: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: candidates share the hyperplane bucket, exact
-    cosine re-rank within. Recall < 1 by construction; multiply probe
-    by lowering n_planes or unioning rotated plane sets."""
+    """Bucketed ANN: candidates share the hyperplane bucket (or one
+    within Hamming ``probe_radius`` of it — multiprobe), exact cosine
+    re-rank within. The probe explosion happens on the QUERY side only
+    (small), so the corpus is still touched once, hash-partitioned on
+    its single true bucket."""
     sig = hyperplane_signature_udf(dim, n_planes, seed)
     c = _with_norm(corpus, id_col, vec_col).withColumn("bucket", sig("v"))
-    q = _with_norm(queries, id_col, vec_col).withColumn("bucket", sig("v")).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("norm").alias("qnorm"), "bucket",
+    masks = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
+    q = (
+        _with_norm(queries, id_col, vec_col)
+        .withColumn("sig", sig("v"))
+        .select(
+            F.col("id").alias("query_id"), F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("sig").bitwiseXOR(m))
+            ).alias("bucket"),
+        )
     )
     dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
                       lambda acc, x: acc + x)

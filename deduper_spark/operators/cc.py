@@ -48,39 +48,43 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
-    for it in range(max_iter):
-        # neighbor minimum in one agg, then elementwise min with own label
+    converged = False
+    for _it in range(max_iter):
+        # neighbor minimum in one agg, then elementwise min with own
+        # label; the changed flag is computed IN the round so the
+        # convergence probe is a cheap scan of the round's checkpoint,
+        # not an extra join+shuffle
         neigh = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
+        stepped = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+                .alias("__chg"),
             )
             .localCheckpoint()
         )
-        prev = labels
-        labels = new_labels
-        # convergence probe costs a join+count: check from iteration 2 on
-        # (dup clusters are clique-ish, diameter <= 2 — round 1 never
-        # converges, so probing it is a wasted job)
-        if it >= 1:
-            changed = (
-                new_labels.alias("n")
-                .join(prev.alias("o"), "id")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                break
+        labels = stepped.select("id", "label")
+        if stepped.where(F.col("__chg")).limit(1).count() == 0:
+            converged = True
+            break
+
+    if not converged:
+        # silent truncation would split long-diameter components into
+        # WRONG cluster ids and corrupt survivor selection — fail hard
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (component diameter too large); raise "
+            f"max_iter for chain-shaped dup graphs"
+        )
 
     out = labels.withColumnRenamed("label", "cluster_id")
     if nodes is not None:

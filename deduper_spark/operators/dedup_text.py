@@ -113,31 +113,74 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           block_col: str | None = "label",
-                           threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by ``block_col`` (a
-    coarse partitioner — at scale this is the IVF cell / LSH bucket).
-    Dot products via zip_with+aggregate — JVM-side, no Python."""
+                           block_col: str | None = None,
+                           threshold: float = 0.95,
+                           n_planes: int = 8,
+                           probe_radius: int = 1,
+                           seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-dup pairs.
+
+    Default blocker: hyperplane-LSH buckets with Hamming-<=probe_radius
+    multiprobe (sign random projection, operators/ann.py). A pair at
+    cosine >= threshold subtends an angle <= acos(threshold); each
+    hyperplane splits it with probability angle/pi (e.g. ~2.6% at
+    0.99), so a miss needs > probe_radius of n_planes splits — the
+    blocker is near-exhaustive for near-dup thresholds WITHOUT any
+    all-pairs join. ``block_col`` substitutes a semantic blocker
+    (test harness / pre-computed IVF cell).
+
+    Bucket size is bounded by construction for near-dup workloads
+    (bucket = 2^-n_planes of the corpus in expectation); dot products
+    via zip_with+aggregate — JVM-side, no Python in the pair join.
+    """
     base = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-        *( [F.col(block_col).alias("block")] if block_col else [F.lit(0).alias("block")] ),
+        *([F.col(block_col).alias("block")] if block_col else []),
     ).withColumn(
         "norm",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
                            lambda acc, x: acc + x)),
     )
-    left = base.select(F.col("id").alias("id_l"), F.col("v").alias("v_l"),
-                       F.col("norm").alias("n_l"), "block")
-    right = base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
-                        F.col("norm").alias("n_r"), "block")
+    if not block_col:
+        from deduper_spark.operators.ann import (
+            hyperplane_signature_udf,
+            probe_masks,
+        )
+
+        dim = base.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
+        sig = hyperplane_signature_udf(dim, n_planes, seed)
+        base = base.withColumn("sig", sig("v"))
+        masks = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
+        left = base.select(
+            F.col("id").alias("id_l"), F.col("v").alias("v_l"),
+            F.col("norm").alias("n_l"),
+            F.explode(
+                F.transform(masks, lambda m: F.col("sig").bitwiseXOR(m))
+            ).alias("block"),
+        )
+        right = base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
+                            F.col("norm").alias("n_r"),
+                            F.col("sig").alias("block"))
+    else:
+        left = base.select(F.col("id").alias("id_l"), F.col("v").alias("v_l"),
+                           F.col("norm").alias("n_l"), "block")
+        right = base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
+                            F.col("norm").alias("n_r"), "block")
     dot = F.aggregate(
         F.zip_with("v_l", "v_r", lambda a, b: a * b), F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return (
+    pairs = (
         left.join(right, "block")
         .where(F.col("id_l") < F.col("id_r"))
+    )
+    if not block_col:
+        # a pair within probe_radius shows up once per probe direction
+        # that reaches it — dedupe on ids before the (cheap) dot product
+        pairs = pairs.dropDuplicates(["id_l", "id_r"])
+    return (
+        pairs
         .withColumn("cosine", F.round(dot / (F.col("n_l") * F.col("n_r")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_l", "id_r", "cosine")

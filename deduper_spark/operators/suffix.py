@@ -40,11 +40,12 @@ def substring_overlap_pairs(
 
     Scale design: docs are hash-sharded; the SA is built per shard
     inside mapInPandas (memory ~ O(shard chars)). Detection is
-    shard-LOCAL — cross-shard pairs are the containment join's job
-    (containment_pairs, exact for full-caption containment); at corpus
-    scale you run several shard seeds or MinHash-over-rare-anchors to
-    close the gap. Each shard's work is independent — no shuffle after
-    the initial hash repartition.
+    shard-LOCAL — the EXACT global pass (no cross-shard gap at any
+    parallelism) is winnowed_substring_pairs below, which is what the
+    driver query and the pipeline use; this per-shard SA pass is the
+    within-shard analytics kernel (maximal run structure, full LCP).
+    Each shard's work is independent — no shuffle after the initial
+    hash repartition.
     """
     from collections.abc import Iterator
 
@@ -67,6 +68,86 @@ def substring_overlap_pairs(
 
     out = sel.mapInPandas(run, schema="id_l string, id_r string")
     return out.distinct().withColumn("families", F.array(F.lit("substring_sa")))
+
+
+def winnowed_substring_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "norm_caption",
+    min_len: int = 45,
+    k: int = 16,
+    max_fp_bucket: int = 2000,
+) -> DataFrame:
+    """EXACT distributed substring pass: all pairs sharing any substring
+    of length >= min_len — recall 1.0 by the winnowing guarantee
+    (functions/winnow.py), precision 1.0 by per-pair literal
+    verification. The scale-correct successor to the per-shard SA pass:
+    no doc sharding, so there is NO cross-shard recall gap at any
+    parallelism.
+
+    Plan shape (what survives 10^12 rows):
+      1. fingerprints: narrow mapInPandas (numpy winnow kernel) →
+         (id, fp) exploded, ~2/(W+1) of characters per doc — one
+         projection, zero shuffle;
+      2. candidates: one sizing groupBy(fp) + one co-located self-join
+         on fp (identical skew treatment to LSH buckets: buckets over
+         ``max_fp_bucket`` are stop-patterns — boilerplate/license
+         headers — and are dropped, never exploded quadratically);
+      3. verification: distinct pairs join texts (id-keyed), then an
+         Arrow-batched exact check (rolling-hash window intersection
+         confirmed against literal characters — suffix-structure
+         verification, collision-proof).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.winnow import winnow_fingerprints
+
+        for pdf in batches:
+            ids, vals = [], []
+            for i, t in zip(pdf["id"], pdf["t"].fillna("")):
+                f = winnow_fingerprints(t, min_len, k)
+                if len(f):
+                    ids.extend([i] * len(f))
+                    vals.extend(f.tolist())
+            yield pd.DataFrame({"id": ids, "fp": vals})
+
+    buckets = sel.mapInPandas(fps, schema="id string, fp long")
+
+    sizes = buckets.groupBy("fp").agg(F.count("*").alias("n"))
+    admitted = sizes.where((F.col("n") > 1) & (F.col("n") <= max_fp_bucket))
+    b = buckets.join(admitted.select("fp"), "fp")
+    cand = (
+        b.alias("l")
+        .join(b.alias("r"), "fp")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_l"), F.col("r.id").alias("id_r"))
+        .distinct()
+    )
+
+    texts_l = sel.select(F.col("id").alias("id_l"), F.col("t").alias("t_l"))
+    texts_r = sel.select(F.col("id").alias("id_r"), F.col("t").alias("t_r"))
+    paired = cand.join(texts_l, "id_l").join(texts_r, "id_r")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.winnow import shares_substring
+
+        for pdf in batches:
+            keep = [
+                shares_substring(str(a or ""), str(b or ""), min_len)
+                for a, b in zip(pdf["t_l"], pdf["t_r"])
+            ]
+            out = pdf.loc[keep, ["id_l", "id_r"]]
+            yield out
+
+    verified = paired.select("id_l", "id_r", "t_l", "t_r").mapInPandas(
+        verify, schema="id_l string, id_r string"
+    )
+    return verified.withColumn("families", F.array(F.lit("substring_win")))
 
 
 def containment_pairs(

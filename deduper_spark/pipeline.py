@@ -252,6 +252,12 @@ class DedupPipeline:
                 .select("id_l", "id_r", "families")
             )
             if "phash" in self.families and self.verify_pixels:
+                # fuzzy_ok feeds TWO consumers in either mode (audit
+                # aggregation + edges, or the phash_only/others branch
+                # split) — pin it once or the candidate self-join (the
+                # single most expensive shuffle in the pipeline) runs
+                # twice end-to-end
+                fuzzy_ok = fuzzy_ok.localCheckpoint()
                 img = images.select(
                     F.col(self.config.order_col).alias("id"), "bytes"
                 )
@@ -357,18 +363,76 @@ class DedupPipeline:
         except Exception as exc:  # noqa: BLE001
             report = DedupeReport(success=False)
             self.metrics.append({"stage": "error", "error": f"{type(exc).__name__}: {exc}"})
-            empty = spark.createDataFrame([], "image_id string, cluster_id string")
+            # each empty output keeps its REAL schema so downstream
+            # consumers of a failed run don't hit missing columns
+            clusters = spark.createDataFrame(
+                [], "image_id string, cluster_id string")
+            dupe_groups = spark.createDataFrame(
+                [], "cluster_id string, member_ids array<string>, "
+                    "n_members long, survivor_id string")
+            edges = spark.createDataFrame(
+                [], "id_l string, id_r string, families array<string>")
+            ledger = spark.createDataFrame(
+                [], "hash string, json_row string" if self.config.include_json
+                else "hash string")
             return PipelineResult(
-                clusters=empty, survivors=df.limit(0), dupe_groups=empty,
-                edges=empty, hash_ledger=empty, report=report,
-                metrics=self.metrics,
+                clusters=clusters, survivors=df.limit(0),
+                dupe_groups=dupe_groups, edges=edges, hash_ledger=ledger,
+                report=report, metrics=self.metrics,
             )
+
+    def _preload_seen(self, spark: SparkSession) -> DataFrame | None:
+        """Seen-hash ledger preload (reference Deduper.kt:135-158): a
+        persisted ledger whose hashes mark rows as already-processed.
+        A missing path is an empty preload (first run of an
+        incremental series configured once)."""
+        path = self.config.seen_hashes_path
+        if not path:
+            return None
+        try:
+            seen = (spark.read.parquet(path) if "/" in path
+                    else spark.read.table(path))
+        except Exception:  # noqa: BLE001 — path not written yet
+            self.metrics.append({"stage": "seen_preload", "hashes": 0,
+                                 "note": "no ledger at path (first run)"})
+            return None
+        return seen.select(F.col("hash").alias("exact_hash")).distinct()
 
     def run(self, spark: SparkSession, df: DataFrame) -> PipelineResult:
         t0 = time.time()
         self.metrics = []
 
         feats = self._materialize(spark, "features", self.features(df))
+
+        # ---- incremental mode: drop rows whose exact hash was seen in a
+        # prior run; they count as dupes (reference semantics pinned by
+        # DeduperTest.kt:393-413: preloaded hashes make rows dupes and
+        # still count in hash_count)
+        pre_rows = 0
+        pre_groups = 0
+        pre_hashes = 0
+        seen = self._preload_seen(spark)
+        if seen is not None:
+            seen = seen.localCheckpoint()
+            pre_hashes = seen.count()
+            hit = feats.join(seen, "exact_hash", "left_semi").agg(
+                F.count("*").alias("rows"),
+                F.count_distinct("exact_hash").alias("groups"),
+            ).collect()[0]
+            pre_rows, pre_groups = hit["rows"], hit["groups"]
+            self.metrics.append({"stage": "seen_preload",
+                                 "hashes": pre_hashes,
+                                 "seen_rows": pre_rows})
+            if pre_rows:
+                feats = self._materialize(
+                    spark, "features_fresh",
+                    feats.join(seen, "exact_hash", "left_anti"),
+                )
+                df = df.join(
+                    feats.select(F.col("id").alias(self.config.order_col)),
+                    self.config.order_col, "left_semi",
+                )
+
         edges = self._materialize(
             spark, "edges", self.candidate_edges(spark, feats, df)
         )
@@ -407,8 +471,11 @@ class DedupPipeline:
         # ---- report (two small aggregations over checkpointed outputs) --
         cstats = clusters.agg(
             F.count("*").alias("n_records"),
-            F.sum((F.col("image_id") == F.col("cluster_id")).cast("long"))
-            .alias("n_survivors"),
+            # coalesce: an all-seen incremental run clusters ZERO rows
+            F.coalesce(
+                F.sum((F.col("image_id") == F.col("cluster_id")).cast("long")),
+                F.lit(0),
+            ).alias("n_survivors"),
             # distinct clusters that own at least one non-survivor row
             # == number of dupe groups (reference distinctDupeCount)
             F.count_distinct(
@@ -419,21 +486,31 @@ class DedupPipeline:
         hstats = feats.agg(
             F.count_distinct("exact_hash").alias("hash_count")
         ).collect()[0]
-        n_records = cstats["n_records"]
+        n_records = cstats["n_records"]          # fresh rows (clustered)
         n_survivors = cstats["n_survivors"]
+        n_groups = cstats["n_dupe_groups"]
+        # preloaded-seen rows are dupes and their hashes count
+        # (reference: DeduperTest.kt:408-412)
         report = DedupeReport(
-            record_count=n_records,
+            record_count=n_records + pre_rows,
             hash_columns=["caption", "phash"],
             columns_found=df.columns,
-            dupe_count=n_records - n_survivors,
-            distinct_dupe_count=cstats["n_dupe_groups"],
-            hash_count=hstats["hash_count"],
+            dupe_count=(n_records - n_survivors) + pre_rows,
+            distinct_dupe_count=n_groups + pre_groups,
+            hash_count=hstats["hash_count"] + pre_hashes,
             success=True,
         )
-        self.metrics.append({"stage": "total", "sec": round(time.time() - t0, 3)})
-        self._write_metrics(report)
+        # group detail (reference report.dupes, Deduper.kt:42-60) —
+        # cap-limited exactly like the exact path's build_report
+        if 0 < n_groups <= 1000:
+            for r in dupe_groups.collect():
+                report.dupes[r["cluster_id"]] = {
+                    "member_ids": list(r["member_ids"]),
+                    "survivor_id": r["survivor_id"],
+                    "n_members": r["n_members"],
+                }
 
-        return PipelineResult(
+        result = PipelineResult(
             clusters=clusters,
             survivors=survivors,
             dupe_groups=dupe_groups,
@@ -442,6 +519,23 @@ class DedupPipeline:
             report=report,
             metrics=self.metrics,
         )
+
+        # ---- configured sinks (reference Deduper.kt:431-497) ---------
+        cfg = self.config
+        if any([cfg.target_path, cfg.dupes_path, cfg.hashes_path,
+                cfg.clusters_path]):
+            from deduper_spark.sinks.writers import write_pipeline_outputs
+
+            written = write_pipeline_outputs(
+                spark, result, report, cfg, n_fresh=n_records,
+                preloaded_hashes=pre_hashes,
+                preloaded_dupe_groups=pre_groups,
+            )
+            self.metrics.append({"stage": "sinks", **written})
+
+        self.metrics.append({"stage": "total", "sec": round(time.time() - t0, 3)})
+        self._write_metrics(report)
+        return result
 
     def _write_metrics(self, report: DedupeReport) -> None:
         cd = self.config.checkpoint_dir

@@ -54,6 +54,56 @@ def write_table(df: DataFrame, ident_or_path: str, overwrite: bool = True) -> No
     write_parquet(df, ident_or_path, overwrite)
 
 
+def _count_back(spark: SparkSession, path: str) -> int:
+    return spark.read.parquet(path).count() if "/" in path else (
+        spark.read.table(path).count()
+    )
+
+
+def write_pipeline_outputs(
+    spark: SparkSession,
+    result,  # PipelineResult (not imported — avoids a circular import)
+    report: DedupeReport,
+    config,  # DedupConfig
+    n_fresh: int,
+    preloaded_hashes: int = 0,
+    preloaded_dupe_groups: int = 0,
+    reconcile: bool = True,
+) -> dict[str, int]:
+    """Write the fuzzy pipeline's configured sinks (DedupConfig
+    target/dupes/hashes/clusters paths — reference sink wiring:
+    Deduper.kt:431-497) with the same fail-hard reconciliation as the
+    exact path:
+
+      target   == record_count - dupe_count     (surviving rows)
+      clusters == n_fresh                       (rows that entered clustering)
+      dupes    == distinct_dupe_count - preloaded_dupe_groups
+      hashes   == hash_count - preloaded_hashes (THIS run's ledger)
+    """
+    checks = {
+        "target": (config.target_path, result.survivors,
+                   report.surviving_count),
+        "clusters": (config.clusters_path, result.clusters, n_fresh),
+        "dupes": (config.dupes_path, result.dupe_groups,
+                  report.distinct_dupe_count - preloaded_dupe_groups),
+        "hashes": (config.hashes_path, result.hash_ledger,
+                   report.hash_count - preloaded_hashes),
+    }
+    written: dict[str, int] = {}
+    for name, (path, df, expected) in checks.items():
+        if not path:
+            continue
+        write_table(df, path)
+        n = _count_back(spark, path)
+        written[name] = n
+        if reconcile and n != expected:
+            raise ReconciliationError(
+                f"pipeline sink '{name}' wrote {n} rows, report expects "
+                f"{expected}"
+            )
+    return written
+
+
 def write_dedup_outputs(
     spark: SparkSession,
     result: ExactDedupResult,
@@ -79,9 +129,7 @@ def write_dedup_outputs(
         if not path:
             continue
         write_table(df, path)
-        n = spark.read.parquet(path).count() if "/" in path else (
-            spark.read.table(path).count()
-        )
+        n = _count_back(spark, path)
         written[name] = n
         if reconcile and n != expected:
             raise ReconciliationError(

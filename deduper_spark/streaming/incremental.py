@@ -3,9 +3,10 @@
 The reference is strictly batch; its cross-run state is the seen-hash
 ledger (Deduper.kt:135-158). The Spark-native generalization is a
 Structured Streaming file source + foreachBatch: every micro-batch is
-anti-joined against the persisted ledger, survivors are appended to
-the target, and the batch's new hashes are appended to the ledger —
-exactly-once per batch via the streaming checkpoint.
+anti-joined against the persisted ledger, survivors land in the
+target, and the batch's new hashes land in the ledger — both written
+as batch_id-partitioned dynamic overwrites, so a retried batch
+replaces its own output (effectively-once) instead of duplicating it.
 
 Two modes:
   * ``stream_dedup`` — foreachBatch ledger dedup (cross-run durable,
@@ -40,7 +41,18 @@ def stream_dedup(
     Returns the StreamingQuery (already started). With
     available_now=True it drains existing files and stops — the batch
     "catch-up" mode; leave False for a long-running ingest.
+
+    Effectively-once semantics: both outputs are partitioned by
+    ``batch_id`` and written with dynamic partition OVERWRITE, so a
+    batch retried after a mid-write crash replaces its own partition
+    instead of appending duplicates (fresh-row selection is
+    deterministic: the anti-join reads only ledger partitions with
+    batch_id < current, so a retry can never see its own partial
+    ledger write). Readers see target rows with a ``batch_id`` lineage
+    column — drop it if unwanted.
     """
+    from pyspark.errors import AnalysisException
+
     stream = (
         spark.readStream.schema(source_schema)
         .parquet(source_dir)
@@ -53,13 +65,25 @@ def stream_dedup(
         # dedupe within the batch (keep one row per hash)
         in_batch = keyed.dropDuplicates(["hash"])
         try:
-            ledger = s.read.parquet(ledger_dir).select("hash")
+            ledger = (
+                s.read.parquet(ledger_dir)
+                .where(F.col("batch_id") < batch_id)   # exclude own retry
+                .select("hash")
+            )
             fresh = in_batch.join(ledger, "hash", "left_anti")
-        except Exception:  # noqa: BLE001 — first batch, no ledger yet
+        except AnalysisException:  # no ledger written yet (first batch);
+            # any OTHER failure (corrupt ledger, permissions) must raise —
+            # treating it as first-batch would silently disable dedup
             fresh = in_batch
-        fresh = fresh.localCheckpoint()  # ledger append must not re-read target
-        fresh.drop("hash").write.mode("append").parquet(target_dir)
-        fresh.select("hash").write.mode("append").parquet(ledger_dir)
+        fresh = (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .localCheckpoint()  # compute fresh ONCE for both sinks
+        )
+        for cols, path in ((fresh.drop("hash"), target_dir),
+                           (fresh.select("hash", "batch_id"), ledger_dir)):
+            (cols.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(path))
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -40,11 +40,12 @@ from pyspark.sql import functions as F
 # 16m (right for TB-scale partitions) would coalesce every post-shuffle
 # stage of this small corpus to 1-2 tasks and serialize the run —
 # configure partitioning for the data size, same as on a real cluster.
+conf = {{"spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m"}}
+if not {aqe}:
+    conf = {{"spark.sql.adaptive.enabled": "false"}}
 spark = get_spark("scale%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus,
-                  extra_conf={{
-                      "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
-                  }})
+                  extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
 df = make_df(spark, 42, {n}).persist()
 df.count()
@@ -72,8 +73,8 @@ spark.stop()
 """
 
 
-def run_one(repo: str, cpus: int, n: int) -> dict:
-    code = WORKER.format(repo=repo, cpus=cpus, n=n)
+def run_one(repo: str, cpus: int, n: int, aqe: bool = True) -> dict:
+    code = WORKER.format(repo=repo, cpus=cpus, n=n, aqe=aqe)
     env = dict(os.environ, PYTHONPATH=repo)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -90,17 +91,22 @@ def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 50_000
     lo_cpus, hi_cpus = 8, 32
+    aqe = True
+    reps = 3
     for a in sys.argv[2:]:
         if a.startswith("--levels="):
             lo_cpus, hi_cpus = (int(x) for x in a.split("=")[1].split(","))
-    reps = 3
+        if a == "--no-aqe":
+            aqe = False
+        if a.startswith("--reps="):
+            reps = int(a.split("=")[1])
     # the sandbox host is a shared hypervisor with 2-3x wall-clock noise
     # between identical runs — ALTERNATE the two levels and take medians
     # so both sample the same noise windows
     runs8, runs32 = [], []
     for i in range(reps):
-        runs8.append(run_one(repo, lo_cpus, n))
-        runs32.append(run_one(repo, hi_cpus, n))
+        runs8.append(run_one(repo, lo_cpus, n, aqe))
+        runs32.append(run_one(repo, hi_cpus, n, aqe))
         print(f"rep {i}: local{lo_cpus} {runs8[-1]['sec']}s  local{hi_cpus} {runs32[-1]['sec']}s",
               flush=True)
     med = lambda rs: sorted(rs, key=lambda r: r["sec"])[len(rs) // 2]  # noqa: E731
