@@ -2,8 +2,12 @@
 
 queries() exposes the engine's operator surface (SURVEY.md §2) over the
 driver's parquet tables; oracle_sql() gives the DuckDB-equivalent ANSI
-SQL for every SQL-expressible operator. Non-SQL-expressible ops
-(pandas-UDF sketches, LSH, CC, image pipeline) are rows-only checked.
+SQL. Sketch-accelerated operators are oracled through their EXACT
+output contracts (LSH+verify == all-pairs exact predicate; winnowed
+substring == 45-char window join; LSH-ANN near-dup top-1 == brute
+force; pipeline clusters == planted truth). Only SimHash pairs and DCT
+phash features are rows-only (no ANSI equivalent of xxhash64
+bit-votes / DCT).
 
 All computed columns are aliased identically on both sides; float
 outputs are either avoided (ids/ranks only) or rounded to 6 decimals

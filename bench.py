@@ -55,6 +55,8 @@ def main() -> None:
         "window_topk",
         "doc_minhash_lsh",
         "doc_ngram_jaccard",
+        "doc_substring_sa",
+        "emb_cosine_dups",
         "ann_topk",
     ]
     for name in headline:

