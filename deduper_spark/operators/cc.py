@@ -54,12 +54,20 @@ def connected_components(
         # label; the changed flag is computed IN the round so the
         # convergence probe is a cheap scan of the round's checkpoint,
         # not an extra join+shuffle
-        neigh = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nmin"))
-            .withColumnRenamed("src", "id")
-        )
+        if _it == 0:
+            # label(v) == v initially, so round 0 needs NO label join:
+            # min over neighbors' labels == min over neighbor ids
+            neigh = (
+                sym.groupBy("src").agg(F.min("dst").alias("nmin"))
+                .withColumnRenamed("src", "id")
+            )
+        else:
+            neigh = (
+                sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("label").alias("nmin"))
+                .withColumnRenamed("src", "id")
+            )
         stepped = (
             labels.join(neigh, "id", "left")
             .select(

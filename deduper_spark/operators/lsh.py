@@ -85,13 +85,19 @@ def array_band_buckets(df: DataFrame, id_col: str, buckets_col: str,
 
 
 def int64_band_buckets(
-    df: DataFrame, id_col: str, bits_col: str, band_bits: int, family: str
+    df: DataFrame, id_col: str, bits_col: str, band_bits: int, family: str,
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """Band a 64-bit fingerprint (phash / simhash) into 64/band_bits
     equal bit-slices. Pigeonhole: pairs within Hamming distance
     (64/band_bits - 1) are GUARANTEED to share a band; beyond that the
     catch is probabilistic (documented trade-off: finer bands raise
-    recall but shrink bucket selectivity)."""
+    recall but shrink bucket selectivity).
+
+    With ``max_hamming`` set, the bucket row also CARRIES the full
+    fingerprint and its verification threshold (16 extra bytes), which
+    lets hamming_candidate_pairs evaluate the exact predicate inline in
+    the self-join — see its docstring for why that matters at scale."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     # static band count → unrolled expressions (stays in codegen; the
@@ -107,11 +113,75 @@ def int64_band_buckets(
             for b in range(n_bands)
         ]
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    out = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(bits_col).alias("val"),
+                  F.explode(band_structs).alias("bb"))
+        .select("id", "val", F.col("bb.band").alias("band"),
+                F.col("bb.bucket").alias("bucket"))
         .withColumn("family", F.lit(family))
     )
+    if max_hamming is None:
+        return out.drop("val")
+    return out.withColumn("max_ham", F.lit(max_hamming))
+
+
+def hamming_candidate_pairs(
+    buckets: DataFrame,
+    max_bucket_size: int = 200,
+    hot_bucket_policy: str = "salt",
+    salt_cap: int = 20_000,
+) -> tuple[DataFrame, DataFrame]:
+    """candidate_pairs for Hamming families (simhash/phash), with the
+    exact predicate evaluated INLINE in the co-located self-join.
+
+    Why this exists: 16-bit band buckets flood at corpus scale (a
+    65,536-value bucket space holds n >> 2^16 rows — measured 33M
+    candidate pairs at n=400k, 26.7M from simhash alone). Shipping
+    every such pair to a features join (2 x shingle arrays ≈ 400 B per
+    pair) made verification the dominant shuffle. Here the bucket row
+    carries the 8-byte fingerprint + threshold, so
+    `bit_count(val_l ^ val_r) <= max_ham` runs inside the join's
+    codegen stage and false candidates die BEFORE the pair-dedup
+    shuffle — the downstream groupBy sees ~confirmed pairs only.
+
+    buckets: (family, band, bucket, id, val, max_ham). Sizing, salting
+    and hot-bucket accounting are identical to candidate_pairs.
+    Returns (pairs(id_l, id_r, families), dropped_buckets).
+    """
+    key = ["family", "band", "bucket"]
+    sizes = buckets.groupBy(*key).agg(F.count("*").alias("bucket_size"))
+    hard_cap = max_bucket_size if hot_bucket_policy == "drop" else salt_cap
+    admitted = sizes.where(
+        (F.col("bucket_size") > 1) & (F.col("bucket_size") <= hard_cap)
+    )
+    dropped = sizes.where(F.col("bucket_size") > hard_cap)
+
+    b = buckets.join(admitted.select(*key, "bucket_size"), key)
+    if hot_bucket_policy == "salt":
+        n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size))
+        b = b.withColumn(
+            "salt", F.pmod(F.xxhash64("id"), n_sub).cast("int")
+        ).drop("bucket_size")
+        key = key + ["salt"]
+    else:
+        b = b.drop("bucket_size")
+
+    left = b.select(*key, F.col("id").alias("id_l"),
+                    F.col("val").alias("val_l"), "max_ham")
+    right = b.select(*key, F.col("id").alias("id_r"),
+                     F.col("val").alias("val_r"))
+    pairs = (
+        left.join(right, key, "inner")
+        .where(F.col("id_l") < F.col("id_r"))
+        .where(
+            F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
+            <= F.col("max_ham")
+        )
+        .groupBy("id_l", "id_r")
+        .agg(F.collect_set("family").alias("families"))
+    )
+    return pairs, dropped
 
 
 def candidate_pairs(

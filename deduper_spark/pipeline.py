@@ -48,11 +48,12 @@ from deduper_spark.operators.lsh import (
     array_band_buckets,
     band_bucket_array_expr,
     candidate_pairs,
+    hamming_candidate_pairs,
     int64_band_buckets,
     union_pairs,
 )
 from deduper_spark.operators.suffix import containment_pairs
-from deduper_spark.operators.verify import verify_psnr
+from deduper_spark.operators.verify import verify_jaccard, verify_psnr
 from deduper_spark.report import DedupeReport
 
 ALL_FAMILIES = ("exact", "minhash", "simhash", "phash", "substring")
@@ -175,15 +176,21 @@ class DedupPipeline:
 
     def candidate_edges(self, spark: SparkSession, feats: DataFrame,
                         images: DataFrame) -> DataFrame:
-        """All LSH families share ONE bucket table → one sizing pass →
-        one (band, bucket)-co-located self-join → one verification join.
+        """Per-family LSH candidate generation, each banding verified by
+        its OWN exact predicate (minhash → shingle-set Jaccard;
+        simhash/phash → Hamming), pairs kept if any family confirms.
 
-        At 10^12 rows this matters: candidate generation costs one
-        shuffle round instead of one per family, and verification is a
-        single id-keyed join computing every family's exact predicate.
-        A pair surfaced by any family's banding is kept if ANY enabled
-        family's predicate confirms it (predicates are exact, so this
-        only ever raises recall, never hurts precision)."""
+        Shuffle economics at 10^12 rows:
+          * Hamming families: the 8-byte fingerprint RIDES the bucket
+            row, so `bit_count(xor) <= t` evaluates inside the
+            self-join's codegen stage — false candidates (the 16-bit
+            band flood: measured 33M candidates at n=400k) die before
+            any downstream shuffle (lsh.hamming_candidate_pairs).
+          * minhash: banding is selective (128-perm buckets), so its
+            ~1e-3x candidate set is the only thing that joins the
+            shingle arrays for exact Jaccard.
+          * family results merge in union_pairs (one groupBy over
+            confirmed pairs only)."""
         cfg = self.config.fuzzy
         verified: list[DataFrame] = []
 
@@ -202,68 +209,41 @@ class DedupPipeline:
             )
             verified.append(exact_edges)
 
-        bucket_tables = []
+        fuzzy_parts: list[DataFrame] = []
         if "minhash" in self.families:
-            bucket_tables.append(
-                array_band_buckets(feats, "id", "minhash_buckets", "minhash")
+            bb = array_band_buckets(feats, "id", "minhash_buckets", "minhash")
+            mh_pairs, mh_dropped = candidate_pairs(bb, cfg.max_bucket_size)
+            self._record_dropped(spark, "minhash", mh_dropped)
+            fuzzy_parts.append(
+                verify_jaccard(mh_pairs, feats, "shingle_hashes",
+                               cfg.jaccard_threshold).drop("jaccard")
             )
+
+        ham_tables = []
         if "simhash" in self.families:
-            bucket_tables.append(
+            ham_tables.append(
                 int64_band_buckets(feats, "id", "simhash",
-                                   cfg.phash_band_bits, "simhash")
+                                   cfg.phash_band_bits, "simhash",
+                                   cfg.simhash_hamming_threshold)
             )
         if "phash" in self.families:
-            bucket_tables.append(
+            ham_tables.append(
                 int64_band_buckets(feats, "id", "phash",
-                                   cfg.phash_band_bits, "phash")
+                                   cfg.phash_band_bits, "phash",
+                                   cfg.phash_hamming_threshold)
             )
-
-        if bucket_tables:
-            all_buckets = bucket_tables[0]
-            for bt in bucket_tables[1:]:
-                all_buckets = all_buckets.unionByName(bt)
-            pairs, dropped = candidate_pairs(all_buckets, cfg.max_bucket_size)
-            self._record_dropped(spark, "all", dropped)
-
-            feat_cols = []
-            if "minhash" in self.families:
-                feat_cols.append("shingle_hashes")
-            if "simhash" in self.families:
-                feat_cols.append("simhash")
-            if "phash" in self.families:
-                feat_cols.append("phash")
-            side = feats.select("id", *feat_cols)
-            left = side.select(F.col("id").alias("id_l"),
-                               *[F.col(c).alias(f"{c}_l") for c in feat_cols])
-            right = side.select(F.col("id").alias("id_r"),
-                                *[F.col(c).alias(f"{c}_r") for c in feat_cols])
-            j = pairs.join(left, "id_l").join(right, "id_r")
-
-            passed_fams = []
-            if "minhash" in self.families:
-                inter = F.size(F.array_intersect("shingle_hashes_l",
-                                                 "shingle_hashes_r"))
-                union = F.size(F.array_union("shingle_hashes_l",
-                                             "shingle_hashes_r"))
-                ok = (inter / F.greatest(union, F.lit(1))) >= cfg.jaccard_threshold
-                passed_fams.append(F.when(ok, F.lit("minhash")))
-            if "simhash" in self.families:
-                ok = F.bit_count(
-                    F.col("simhash_l").bitwiseXOR(F.col("simhash_r"))
-                ) <= cfg.simhash_hamming_threshold
-                passed_fams.append(F.when(ok, F.lit("simhash")))
-            if "phash" in self.families:
-                ok = F.bit_count(
-                    F.col("phash_l").bitwiseXOR(F.col("phash_r"))
-                ) <= cfg.phash_hamming_threshold
-                passed_fams.append(F.when(ok, F.lit("phash")))
-
-            fams = F.filter(F.array(*passed_fams), lambda x: x.isNotNull())
-            fuzzy_ok = (
-                j.withColumn("families", fams)
-                .where(F.size("families") > 0)
-                .select("id_l", "id_r", "families")
+        if ham_tables:
+            hb = ham_tables[0]
+            for t in ham_tables[1:]:
+                hb = hb.unionByName(t)
+            ham_pairs, ham_dropped = hamming_candidate_pairs(
+                hb, cfg.max_bucket_size
             )
+            self._record_dropped(spark, "hamming", ham_dropped)
+            fuzzy_parts.append(ham_pairs)
+
+        if fuzzy_parts:
+            fuzzy_ok = union_pairs(*fuzzy_parts)
             if "phash" in self.families and self.verify_pixels:
                 # fuzzy_ok feeds TWO consumers in either mode (audit
                 # aggregation + edges, or the phash_only/others branch
