@@ -112,6 +112,56 @@ def watermark_dedup(
     )
 
 
+def stateful_dupe_counter(
+    stream: DataFrame,
+    hash_keys: tuple[str, ...] = (),
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per dedup-key occurrence counting with state timeout.
+
+    For every exact-dedup key seen on the stream, maintains a running
+    occurrence count in the state store and emits (hash, n_rows,
+    is_dupe) updates each micro-batch — the streaming analog of the
+    reference's dupe-group ledger (Deduper.kt:225-240), with BOUNDED
+    state: with ``state_timeout_ms`` set (long-running streams), keys
+    idle longer than that are evicted via processing-time timeout, so
+    state holds only the active working set instead of the full corpus
+    history (the durable full ledger is stream_dedup's job; this
+    operator is the low-latency signal). Leave it None for availableNow
+    catch-up runs — a timeout keeps the drain trigger alive in a
+    state-cleanup loop after the data is exhausted.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keys = resolve_hash_keys(stream, hash_keys)
+    keyed = stream.withColumn("hash", md5_key_expr(keys))
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_new = sum(len(pdf) for pdf in pdfs)
+        n_old = state.get[0] if state.exists else 0
+        n = n_old + n_new
+        state.update((n,))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame(
+            {"hash": [key[0]], "n_rows": [n], "is_dupe": [n > 1]}
+        )
+
+    return keyed.groupBy("hash").applyInPandasWithState(
+        update,
+        outputStructType="hash string, n_rows long, is_dupe boolean",
+        stateStructType="n_rows long",
+        outputMode="update",
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if state_timeout_ms else GroupStateTimeout.NoTimeout),
+    )
+
+
 def run_incremental_batches(
     spark: SparkSession,
     source_dir: str,

@@ -90,6 +90,34 @@ def test_stream_dedup_incremental(spark, tmp_path):
     assert out2 == {"target": 3, "ledger": 3}  # only c added
 
 
+def test_stateful_dupe_counter(spark, tmp_path):
+    """applyInPandasWithState custom stateful op: per-key occurrence
+    counts with bounded (timeout-evicted) state."""
+    from deduper_spark.streaming.incremental import stateful_dupe_counter
+
+    src = str(tmp_path / "src")
+    schema = "id bigint, k string"
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (4, "a"), (5, "c")], schema
+    ).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    counted = stateful_dupe_counter(stream, ("k",))
+    q = (
+        counted.writeStream.format("memory").queryName("dupe_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r["n_rows"]: r["is_dupe"]
+            for r in spark.sql("SELECT * FROM dupe_counts").collect()}
+    # keys hash-anonymized; counts identify them: a->3, b->1, c->1
+    assert rows == {3: True, 1: False}
+    assert len(spark.sql("SELECT * FROM dupe_counts").collect()) == 3
+
+
 def test_watermark_dedup_batch_semantics(spark):
     # dropDuplicatesWithinWatermark on a static frame degrades to
     # plain dropDuplicates — verify the API contract holds
