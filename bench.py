@@ -73,6 +73,17 @@ def main() -> None:
     df = make_df(spark, seed=42, n=n_images)
     df = df.persist()
     df.count()  # materialize synth outside the timed window
+    # steady-state warmup: one tiny end-to-end run first — the first
+    # execution of the pipeline DAG pays one-time JVM costs (codegen
+    # JIT, Arrow init) a long-lived cluster pays at startup, not per
+    # job (same exclusion as tools/bench_scaling.py)
+    _w = make_df(spark, seed=43, n=1000).persist()
+    _w.count()
+    DedupPipeline(
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        collect_metrics=False,
+    ).run(spark, _w)
+    _w.unpersist()
     t0 = time.time()
     # audit PSNR = the production path (capped fidelity sample);
     # exhaustive pixel verification is exercised by the test suite
