@@ -45,6 +45,11 @@ def main() -> None:
     qfns = entry.queries()
     timings: dict[str, float] = {}
 
+    # JVM warmup before the timed loop: the session's first job pays
+    # one-time codegen JIT + scan-path init (steady-state exclusion,
+    # same rationale as tools/bench_scaling.py)
+    _force(qfns["agg_pricing"](spark, sf_dir))
+
     # ---- relational / text / vector headline queries -------------------
     headline = [
         "exact_dedup_survivors",

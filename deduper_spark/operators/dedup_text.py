@@ -115,7 +115,7 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            block_col: str | None = None,
                            threshold: float = 0.95,
-                           n_planes: int = 8,
+                           n_planes: int = 16,
                            probe_radius: int = 1,
                            seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs.
@@ -142,6 +142,10 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
         F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
                            lambda acc, x: acc + x)),
     )
+    dot = F.aggregate(
+        F.zip_with("v_l", "v_r", lambda a, b: a * b), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     if not block_col:
         from deduper_spark.operators.ann import (
             hyperplane_signature_udf,
@@ -150,35 +154,37 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
 
         dim = base.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
         sig = hyperplane_signature_udf(dim, n_planes, seed)
-        base = base.withColumn("sig", sig("v"))
+        # candidate generation on IDS ONLY (16 B/row through the bucket
+        # join + pair dedupe); the 8 B x dim vectors join back by id
+        # AFTER dedupe — never shuffled per-probe or per-duplicate-pair
+        ids = base.withColumn("sig", sig("v")).select("id", "sig")
         masks = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
-        left = base.select(
-            F.col("id").alias("id_l"), F.col("v").alias("v_l"),
-            F.col("norm").alias("n_l"),
+        left = ids.select(
+            F.col("id").alias("id_l"),
             F.explode(
                 F.transform(masks, lambda m: F.col("sig").bitwiseXOR(m))
             ).alias("block"),
         )
-        right = base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
-                            F.col("norm").alias("n_r"),
-                            F.col("sig").alias("block"))
+        right = ids.select(F.col("id").alias("id_r"), F.col("sig").alias("block"))
+        cand = (
+            left.join(right, "block")
+            .where(F.col("id_l") < F.col("id_r"))
+            .select("id_l", "id_r")
+            .dropDuplicates(["id_l", "id_r"])
+        )
+        pairs = cand.join(
+            base.select(F.col("id").alias("id_l"), F.col("v").alias("v_l"),
+                        F.col("norm").alias("n_l")), "id_l"
+        ).join(
+            base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
+                        F.col("norm").alias("n_r")), "id_r"
+        )
     else:
         left = base.select(F.col("id").alias("id_l"), F.col("v").alias("v_l"),
                            F.col("norm").alias("n_l"), "block")
         right = base.select(F.col("id").alias("id_r"), F.col("v").alias("v_r"),
                             F.col("norm").alias("n_r"), "block")
-    dot = F.aggregate(
-        F.zip_with("v_l", "v_r", lambda a, b: a * b), F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    pairs = (
-        left.join(right, "block")
-        .where(F.col("id_l") < F.col("id_r"))
-    )
-    if not block_col:
-        # a pair within probe_radius shows up once per probe direction
-        # that reaches it — dedupe on ids before the (cheap) dot product
-        pairs = pairs.dropDuplicates(["id_l", "id_r"])
+        pairs = left.join(right, "block").where(F.col("id_l") < F.col("id_r"))
     return (
         pairs
         .withColumn("cosine", F.round(dot / (F.col("n_l") * F.col("n_r")), 6))

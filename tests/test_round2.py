@@ -169,8 +169,13 @@ def test_pipeline_incremental_and_sinks(spark, tmp_path):
 
     # ---- second run over the SAME corpus, preloading run1's ledger:
     # every row is already-seen (reference DeduperTest.kt:393-413)
-    cfg2 = DedupConfig(seen_hashes_path=cfg1.hashes_path)
+    cfg2 = DedupConfig(
+        seen_hashes_path=cfg1.hashes_path,
+        target_path=str(tmp_path / "target2"),   # empty sinks reconcile too
+        clusters_path=str(tmp_path / "clusters2"),
+    )
     res2 = DedupPipeline(cfg2).run(spark, df)
+    assert spark.read.parquet(cfg2.target_path).count() == 0
     assert res2.report.record_count == 100
     assert res2.report.dupe_count == 100
     assert res2.report.hash_count == n_hashes     # preloaded, nothing new
