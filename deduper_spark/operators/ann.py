@@ -86,6 +86,85 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return _sig
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans cells + multi-cell probing.
+
+    The scale path alongside lsh_topk: centroids come from Spark ML
+    KMeans (train on a sample at corpus scale), every corpus row is
+    assigned its ONE nearest cell (hash-partitioned inverted lists),
+    and each query probes its ``n_probe`` nearest cells — centroids are
+    a driver-side constant folded into a literal array, so probe
+    assignment is a JVM projection, no crossJoin. Exact cosine re-rank
+    within the probed cells. Recall is governed by n_probe/n_cells
+    (probing the query's own cell always finds identical vectors).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _with_norm(corpus, id_col, vec_col).withColumn(
+        "fv", array_to_vector(F.col("v").cast("array<double>"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
+                   featuresCol="fv", predictionCol="cell").fit(c)
+    inverted = model.transform(c).select("id", "v", "norm", "cell")
+
+    centers_lit = F.array(*[
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in ctr]).alias("ctr"),
+        )
+        for i, ctr in enumerate(model.clusterCenters())
+    ])
+
+    def sqdist(ctr):
+        return F.aggregate(
+            F.zip_with("qv", ctr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    q = _with_norm(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored_cells = F.transform(
+        centers_lit,
+        lambda s: F.struct(sqdist(s["ctr"]).alias("d"), s["cell"].alias("cell")),
+    )
+    q = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(scored_cells), 1, n_probe),
+                lambda s: s["cell"],
+            )
+        ),
+    )
+
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    scored = (
+        inverted.join(q, "cell")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_cols(dot, F.col("norm"), F.col("qnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rank", "cosine")
+    )
+
+
 def probe_masks(n_planes: int, radius: int) -> list[int]:
     """XOR masks enumerating all buckets within Hamming ``radius`` of a
     signature — standard multiprobe LSH (probe neighbor buckets instead

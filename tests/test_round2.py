@@ -224,6 +224,31 @@ def test_jdbc_ddl_goldens(spark):
         generate_ddl("t", df.select(F.array("street").alias("a")))
 
 
+# ------------------------------------------------------- IVF ANN
+
+def test_ivf_topk_recall(spark):
+    """IVF cells + multiprobe vs brute force: identical-copy queries
+    always find their source (own cell probed), and overall recall@3
+    clears the n_probe/n_cells coverage bar."""
+    from deduper_spark.operators.ann import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, q, k=3).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(emb, q, k=3, n_cells=8, n_probe=4).collect()}
+    assert len(ivf & bf) / len(bf) >= 0.7
+
+    copies = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    ).limit(5)
+    top1 = ivf_topk(emb, copies, k=1, n_cells=8, n_probe=1).collect()
+    for r in top1:
+        assert r["neighbor_id"] == r["query_id"] - 10000
+        assert abs(r["cosine"] - 1.0) < 1e-6
+
+
 # ------------------------------------------------------ CC guard
 
 def test_cc_nonconvergence_raises(spark):
