@@ -303,17 +303,51 @@ def q_doc_minhash_lsh(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
+    """SimHash-accelerated ORDER-INVARIANT dedup, oracled through the
+    exact predicate it verifies (the minhash-query pattern: sketch =
+    accelerator, predicate = contract). SimHash is a pure function of
+    the token MULTISET, so equal multisets always collide at hamming 0
+    (recall 1.0: the banding catches hamming 0 trivially); the inline
+    hamming-0 self-join prunes candidates to near-identical multisets,
+    and an exact multiset-equality verification (md5 of the sorted
+    token list) confirms — hamming 0 alone is NOT equality (a doc
+    differing by ONE token usually flips zero vote bits; measured 6
+    such sym-diff-1 pairs at sf0.01). The augmentation plants
+    SORTED-TOKEN copies: same multiset, different text — the class
+    exact dedup misses and n-gram overlap scores low, i.e. the
+    capability simhash exists for. The DuckDB oracle recomputes
+    multiset equality directly. (Hamming thresholds > 0 are covered by
+    the brute-force unit test, tests/test_round3.py.)"""
+    from deduper_spark.config import FuzzyConfig
+    from deduper_spark.functions.text import normalize_expr
     from deduper_spark.operators.dedup_text import simhash_doc_pairs
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    near = d.where(F.col("doc_id") % 7 == 0).select(
+    shuffled = d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+        F.array_join(
+            F.array_sort(F.split(normalize_expr("text"), " ")), " "
+        ).alias("text"),
     )
-    aug = d.unionByName(near)
-    return simhash_doc_pairs(aug, "doc_id", "text").select(
-        F.col("id_l").cast("long").alias("id_l"),
-        F.col("id_r").cast("long").alias("id_r"),
+    aug = d.unionByName(shuffled)
+    cfg = FuzzyConfig(simhash_hamming_threshold=0)
+    cand = simhash_doc_pairs(aug, "doc_id", "text", cfg)
+    keys = aug.select(
+        F.col("doc_id"),
+        F.md5(F.array_join(F.array_sort(F.split(normalize_expr("text"), " ")),
+                           " ")).alias("k"),
+    )
+    return (
+        cand
+        .join(keys.select(F.col("doc_id").alias("id_l"),
+                          F.col("k").alias("k_l")), "id_l")
+        .join(keys.select(F.col("doc_id").alias("id_r"),
+                          F.col("k").alias("k_r")), "id_r")
+        .where(F.col("k_l") == F.col("k_r"))
+        .select(
+            F.col("id_l").cast("long").alias("id_l"),
+            F.col("id_r").cast("long").alias("id_r"),
+        )
     )
 
 
@@ -328,12 +362,26 @@ def q_image_dedup_clusters(spark, sf_dir):
 
 
 def q_image_features(spark, sf_dir):
-    """Multimodal decode + feature extraction (mapInPandas)."""
+    """Multimodal decode + feature extraction (mapInPandas), oracled
+    by planted truth: the synth corpus is a pure function of (seed, i)
+    — every valid blob decodes to 64x64 — and 10 poisoned blobs are
+    appended to exercise the decode-failure isolation path
+    (decode_ok=false rows, never a killed job). The compared
+    projection is the index-derivable part (id, decode_ok, w, h);
+    channel means and the DCT phash have no ANSI equivalent and are
+    covered by invariance unit tests."""
     from deduper_spark.operators.multimodal import extract_image_features
     from deduper_spark.synth import make_df
 
-    df = make_df(spark, seed=42, n=100)
-    return extract_image_features(df, "image_id", "bytes")
+    df = make_df(spark, seed=42, n=100).select("image_id", "bytes")
+    poison = spark.range(10).select(
+        F.concat(F.lit("bad"), F.lpad(F.col("id").cast("string"), 9, "0")
+                 ).alias("image_id"),
+        F.lit(bytearray(b"not an image blob")).alias("bytes"),
+    )
+    feats = extract_image_features(df.unionByName(poison),
+                                   "image_id", "bytes")
+    return feats.select("id", "decode_ok", "w", "h")
 
 
 def q_doc_substring_sa(spark, sf_dir):
@@ -370,7 +418,7 @@ def q_pipeline_incremental(spark, sf_dir):
     before clustering and the output is the fresh rows' clusters —
     exactly reproducible in SQL (md5 over 'caption, phash' with
     phash := length(text), so the key is ANSI-expressible)."""
-    import tempfile, os  # noqa: E401
+    import tempfile, os, uuid  # noqa: E401
 
     from deduper_spark.config import DedupConfig
     from deduper_spark.functions.keys import md5_key_expr
@@ -387,8 +435,11 @@ def q_pipeline_incremental(spark, sf_dir):
         F.col("text").alias("caption"),
         F.length("text").cast("long").alias("phash"),
     )
+    # per-invocation unique ledger dir: two concurrent bench/correctness
+    # processes must never overwrite each other's seen ledger
     seen_dir = os.path.join(
-        tempfile.gettempdir(), "deduper_spark_q_pipeline_incr", "seen"
+        tempfile.gettempdir(),
+        f"deduper_spark_q_pipeline_incr_{uuid.uuid4().hex}", "seen",
     )
     (
         corpus.where(F.col("image_id").cast("long") % 2 == 0)
@@ -452,8 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_sa": q_doc_substring_sa,
         "image_dedup_clusters": q_image_dedup_clusters,
         "emb_lsh_ann": q_emb_lsh_ann,
-        # rows-only (non-SQL-expressible: xxhash64 bit-vote sketch /
-        # DCT phash features have no ANSI equivalent)
+        # oracled via exact sketch contracts / planted truth (see the
+        # per-query docstrings): hamming-0 simhash == token-multiset
+        # equality; image features == index-derivable (decode_ok, w, h)
         "doc_simhash": q_doc_simhash,
         "image_features": q_image_features,
     }
@@ -755,6 +807,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT a.doc_id::BIGINT AS id_l, b.doc_id::BIGINT AS id_r
             FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+        """,
+        "doc_simhash": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000,
+                       array_to_string(list_sort({_TOKS}), ' ')
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            k AS (
+                SELECT doc_id,
+                       array_to_string(list_sort({_TOKS}), ' ') AS key
+                FROM aug
+            )
+            SELECT a.doc_id::BIGINT AS id_l, b.doc_id::BIGINT AS id_r
+            FROM k a JOIN k b ON a.key = b.key AND a.doc_id < b.doc_id
+        """,
+        "image_features": """
+            -- planted truth: every synth blob decodes to 64x64
+            -- (deduper_spark/synth.py IMG=64, pure function of (seed,i));
+            -- the 10 appended poison blobs fail decode with null dims
+            SELECT 'img' || lpad(i::VARCHAR, 9, '0') AS id,
+                   true AS decode_ok, 64::INTEGER AS w, 64::INTEGER AS h
+            FROM (SELECT unnest(range(100)) AS i)
+            UNION ALL
+            SELECT 'bad' || lpad(i::VARCHAR, 9, '0') AS id,
+                   false AS decode_ok, NULL::INTEGER AS w, NULL::INTEGER AS h
+            FROM (SELECT unnest(range(10)) AS i)
         """,
         "ann_topk": """
             WITH n AS (

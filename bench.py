@@ -30,14 +30,29 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _stage_count(spark, group: str) -> int:
+    """Distinct stages executed under a job group — the regression pin:
+    wall time swings 2-3x with tenant noise, stage-count creep does not."""
+    tracker = spark.sparkContext.statusTracker()
+    stages: set[int] = set()
+    for j in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(j)
+        if info:
+            stages.update(info.stageIds)
+    return len(stages)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
+    no_aqe = "--no-aqe" in sys.argv
 
     from deduper_spark.session import get_spark
 
-    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    extra = {"spark.sql.adaptive.enabled": "false"} if no_aqe else None
+    spark = get_spark("bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
@@ -64,10 +79,13 @@ def main() -> None:
         "emb_cosine_dups",
         "ann_topk",
     ]
+    stage_counts: dict[str, int] = {}
     for name in headline:
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.time()
         _force(qfns[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        stage_counts[name] = _stage_count(spark, name)
 
     # ---- flagship: image near-dup pipeline at sf-scaled corpus ---------
     from deduper_spark.config import DedupConfig, FuzzyConfig
@@ -89,6 +107,8 @@ def main() -> None:
         collect_metrics=False,
     ).run(spark, _w)
     _w.unpersist()
+    spark.sparkContext.setJobGroup("image_dedup_pipeline",
+                                   "image_dedup_pipeline")
     t0 = time.time()
     # audit PSNR = the production path (capped fidelity sample);
     # exhaustive pixel verification is exercised by the test suite
@@ -99,6 +119,8 @@ def main() -> None:
     _force(res.clusters)
     image_sec = round(time.time() - t0, 3)
     timings["image_dedup_pipeline"] = image_sec
+    stage_counts["image_dedup_pipeline"] = _stage_count(
+        spark, "image_dedup_pipeline")
     df.unpersist()
 
     total = round(sum(timings.values()), 3)
@@ -111,6 +133,8 @@ def main() -> None:
         "images": n_images,
         "images_per_sec": round(n_images / image_sec, 1),
         "cpus": cpus,
+        "aqe": not no_aqe,
+        "stages": stage_counts,
     }
     spark.stop()
     print(json.dumps(out))

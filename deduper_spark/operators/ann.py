@@ -86,6 +86,31 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return _sig
 
 
+def hyperplane_signatures_udf(dim: int, n_planes: int, n_tables: int,
+                              seed: int = 42):
+    """``n_tables`` INDEPENDENT sign-random-projection signatures per
+    vector (array<long>, one per table) — the OR-amplification side of
+    LSH: a pair is a candidate if ANY table agrees (within the probe
+    radius), so per-table misses multiply instead of compounding.
+    One (dim x n_planes*n_tables) matmul per Arrow batch."""
+    from pyspark.sql.types import ArrayType
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes * n_tables))
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((m @ planes) > 0).reshape(len(vecs), n_tables, n_planes)
+        packed = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return _sigs
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -96,15 +121,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 10,
+    fit_sample_rows: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans cells + multi-cell probing.
 
     The scale path alongside lsh_topk: centroids come from Spark ML
-    KMeans (train on a sample at corpus scale), every corpus row is
-    assigned its ONE nearest cell (hash-partitioned inverted lists),
-    and each query probes its ``n_probe`` nearest cells — centroids are
-    a driver-side constant folded into a literal array, so probe
-    assignment is a JVM projection, no crossJoin. Exact cosine re-rank
+    KMeans trained on a BOUNDED deterministic sample (<=
+    ``fit_sample_rows`` rows picked by pmod(xxhash64(id)) — at 10^12
+    rows the iterative fit must never scan the corpus; cell quality
+    needs only a representative sample), then every corpus row is
+    assigned its ONE nearest cell in a single transform pass
+    (hash-partitioned inverted lists), and each query probes its
+    ``n_probe`` nearest cells — centroids are a driver-side constant
+    folded into a literal array, so probe assignment is a JVM
+    projection, no crossJoin. Centroid-literal plan size is
+    O(n_cells*dim) — guarded below, because a 65k-cell x 4k-dim literal
+    would blow past the codegen constant pool. Exact cosine re-rank
     within the probed cells. Recall is governed by n_probe/n_cells
     (probing the query's own cell always finds identical vectors).
     """
@@ -114,8 +146,26 @@ def ivf_topk(
     c = _with_norm(corpus, id_col, vec_col).withColumn(
         "fv", array_to_vector(F.col("v").cast("array<double>"))
     )
+    # deterministic bounded fit input: admit id-hash residues up to the
+    # ratio that yields ~fit_sample_rows in expectation (always >= 1
+    # residue so the fit never sees an empty frame); no sample()
+    # randomness — the same corpus always trains the same centroids
+    n_corpus = c.count()
+    if n_corpus > fit_sample_rows:
+        n_res = max(1, (fit_sample_rows * 1000) // n_corpus)
+        fit_in = c.where(F.pmod(F.xxhash64("id"), F.lit(1000)) < n_res)
+    else:
+        fit_in = c
+    dim_probe = corpus.select(F.col(vec_col)).limit(1).collect()
+    dim = len(dim_probe[0][0]) if dim_probe else 0
+    if n_cells * dim > 500_000:
+        raise ValueError(
+            f"centroid literal plan would carry {n_cells}x{dim} doubles; "
+            f"store centroids as a broadcast table instead of literals "
+            f"above 500k entries"
+        )
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter,
-                   featuresCol="fv", predictionCol="cell").fit(c)
+                   featuresCol="fv", predictionCol="cell").fit(fit_in)
     inverted = model.transform(c).select("id", "v", "norm", "cell")
 
     centers_lit = F.array(*[

@@ -1,4 +1,4 @@
-"""Connected components — iterative DataFrame min-label propagation.
+"""Connected components over the verified dup-pair graph.
 
 Generalizes the reference's dupe group (Deduper.kt:225-240): under
 exact equality, groups are trivially connected (same hash); under
@@ -7,16 +7,27 @@ connected component. cluster_id = min member id (union-find label),
 which also IS the keep-first survivor (min image_id — the reference's
 first-found-row generalized).
 
-Algorithm: min-id label propagation to a fixpoint —
-    label(v) <- min(label(v), min over neighbors u of label(u))
-On clique-ish dup clusters this converges in 2-3 rounds; pathological
-long chains converge in O(diameter) (large-star/small-star from the
-Google CC-MR paper would give O(log d); plain propagation is chosen
-for plan simplicity — dup graphs are short-diameter in practice).
+Two algorithms:
 
-Each round: one shuffle (groupBy node) over the edge list.
-localCheckpoint() per round truncates lineage so the plan does not
-grow superlinearly (SURVEY.md §7 hard part (c)).
+* alternating large-star/small-star (DEFAULT) — the "two-phase"
+  algorithm of Kiveris et al., "Connected Components in MapReduce and
+  Beyond" (SoCC'14), also what GraphFrames ships as its default CC.
+  Each round rewires edges toward local minima (large-star: every
+  node links its larger neighbors to its smallest neighbor;
+  small-star: every node links its smaller neighbors to the smallest)
+  which CONTRACTS long paths exponentially: O(log d) rounds on a
+  chain of diameter d, vs O(d) for plain label propagation. A
+  chain-shaped dup graph (consecutive near-dup crawl snapshots) that
+  burned 25 shuffles — or hit the fail-hard — under label propagation
+  converges in ~log2(d) rounds here. Each phase is one groupBy
+  shuffle over the (shrinking) edge list.
+
+* min-label propagation (label_propagation_components) — the plain
+  O(diameter) fixpoint, kept for comparison/verification; dup graphs
+  are usually clique-ish (diameter 1-3) where it is equally cheap.
+
+Each round localCheckpoint()s so the plan does not grow superlinearly
+(SURVEY.md §7 hard part (c)).
 """
 
 from __future__ import annotations
@@ -25,14 +36,141 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(u,v) -> connect every neighbor LARGER than u to u's minimum.
+
+    For each node u with undirected neighborhood N(u):
+    m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+    """
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with_min = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select("src", F.least("src", "nmin").alias("m"))
+    )
+    return (
+        sym.join(with_min, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """(u,v) -> connect every neighbor <= u (and u itself) to the min.
+
+    Operates on edges oriented src > dst; for each src u with smaller
+    neighbors S(u): m = min(S(u)); emit (v, m) for v in S(u) ∪ {u}.
+    """
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    with_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    rewired = (
+        oriented.join(with_min, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .unionByName(with_min.select("src", F.col("m").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return rewired
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
-    max_iter: int = 25,
+    max_iter: int = 50,
     id_type: str = "string",
+    algorithm: str = "alternating",
 ) -> DataFrame:
     """edges: (id_l, id_r). nodes: (id) incl. singletons (optional).
     Returns (id, cluster_id) for every node in edges ∪ nodes."""
+    if algorithm == "label_prop":
+        return label_propagation_components(edges, nodes, max_iter)
+
+    e = (
+        edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # every node that appears in any INPUT edge must get a label even
+    # after contraction rewires it away — pin the node set up front
+    edge_nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    converged = e.limit(1).count() == 0
+    n_prev = -1
+    for _it in range(max_iter):
+        if converged:
+            break
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        n_new = e2.count()
+        # convergence = exact edge-set fixpoint: same cardinality AND
+        # no edge outside the previous set (set equality, not a
+        # checksum — a wrong early exit would corrupt cluster ids)
+        if n_new == n_prev and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
+            converged = True
+            break
+        e, n_prev = e2, n_new
+
+    if not converged:
+        # silent truncation would split components into WRONG cluster
+        # ids and corrupt survivor selection — fail hard
+        raise RuntimeError(
+            f"connected_components (alternating) did not converge within "
+            f"max_iter={max_iter} rounds"
+        )
+
+    # at the fixpoint the edges are stars (child > root): every
+    # non-root points at its component min; label(u) = min(u, min
+    # neighbor) covers roots (only appear as dst) and children alike
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(F.col("src").alias("id"),
+                F.least("src", "nmin").alias("cluster_id"))
+    )
+    # rewiring can drop a node entirely (e.g. interior chain nodes once
+    # contracted) — they are in edge_nodes and label as members via
+    # ... no: a dropped node only vanishes when its edges were rewired
+    # INTO the star, which keeps it as a src. Guard anyway: any input
+    # node missing from labels keeps itself (assert-equivalent join).
+    missing = edge_nodes.join(labels.select("id"), "id", "left_anti")
+    out = labels.unionByName(
+        missing.withColumn("cluster_id", F.col("id"))
+    )
+
+    if nodes is not None:
+        singletons = (
+            nodes.select(F.col(nodes.columns[0]).alias("id"))
+            .join(out.select("id"), "id", "left_anti")
+            .withColumn("cluster_id", F.col("id"))
+        )
+        out = out.unionByName(singletons)
+    return out
+
+
+def label_propagation_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Plain min-id label propagation to a fixpoint — O(diameter)
+    rounds; kept as the verification twin of the alternating
+    algorithm (clique-ish dup graphs converge in 2-3 rounds)."""
     sym = (
         edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
         .unionByName(
@@ -86,12 +224,9 @@ def connected_components(
             break
 
     if not converged:
-        # silent truncation would split long-diameter components into
-        # WRONG cluster ids and corrupt survivor selection — fail hard
         raise RuntimeError(
-            f"connected_components did not converge within max_iter="
-            f"{max_iter} rounds (component diameter too large); raise "
-            f"max_iter for chain-shaped dup graphs"
+            f"label_propagation_components did not converge within "
+            f"max_iter={max_iter} rounds (component diameter too large)"
         )
 
     out = labels.withColumnRenamed("label", "cluster_id")

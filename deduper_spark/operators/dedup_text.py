@@ -23,8 +23,13 @@ from deduper_spark.functions.text import (
     tokens_expr,
 )
 from deduper_spark.operators.exact import ExactDedupResult, exact_dedup
-from deduper_spark.operators.lsh import band_buckets, candidate_pairs, int64_band_buckets
-from deduper_spark.operators.verify import verify_hamming, verify_jaccard
+from deduper_spark.operators.lsh import (
+    band_buckets,
+    candidate_pairs,
+    hamming_candidate_pairs,
+    int64_band_buckets,
+)
+from deduper_spark.operators.verify import verify_jaccard
 
 
 def exact_doc_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -60,9 +65,17 @@ def doc_features(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_doc_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           cfg: FuzzyConfig | None = None) -> DataFrame:
-    """(id_l, id_r, jaccard) — verified near-dup doc pairs."""
+    """(id_l, id_r, jaccard) — verified near-dup doc pairs.
+
+    feats is pinned with localCheckpoint: it feeds BOTH the banding
+    side and the exact-Jaccard verification join, and without the pin
+    the doc_features projection (normalize + shingle + minhash Arrow
+    work) executes twice end-to-end — the exact double-execution the
+    flagship pipeline pins at pipeline.py fuzzy_ok (measured as the
+    BENCH_r02 doc_minhash_lsh 2x regression)."""
     cfg = cfg or FuzzyConfig()
-    feats = doc_features(df, id_col, text_col, cfg, with_simhash=False)
+    feats = doc_features(df, id_col, text_col, cfg,
+                         with_simhash=False).localCheckpoint()
     bb = band_buckets(feats, "id", "minhash_sig", cfg.bands,
                       cfg.rows_per_band, "minhash")
     pairs, _ = candidate_pairs(bb, cfg.max_bucket_size)
@@ -73,22 +86,42 @@ def minhash_lsh_doc_pairs(df: DataFrame, id_col: str = "doc_id",
 def simhash_doc_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       cfg: FuzzyConfig | None = None) -> DataFrame:
-    """(id_l, id_r, hamming) — SimHash near-dup doc pairs."""
+    """(id_l, id_r, hamming) — SimHash near-dup doc pairs.
+
+    The fingerprint RIDES the bucket row and `bit_count(xor) <= t`
+    evaluates inside the self-join's codegen stage
+    (lsh.hamming_candidate_pairs), so the 16-bit band flood (a 65,536-
+    value bucket space at corpus scale — measured 26.7M junk candidate
+    pairs at n=400k) dies before the pair-dedup shuffle. No features
+    join at all: feats feeds only the banding projection."""
     cfg = cfg or FuzzyConfig()
     feats = doc_features(df, id_col, text_col, cfg, with_minhash=False)
-    bb = int64_band_buckets(feats, "id", "simhash", cfg.phash_band_bits, "simhash")
-    pairs, _ = candidate_pairs(bb, cfg.max_bucket_size)
-    return verify_hamming(pairs, feats, "simhash",
-                          cfg.simhash_hamming_threshold).drop("families")
+    bb = int64_band_buckets(feats, "id", "simhash", cfg.phash_band_bits,
+                            "simhash", cfg.simhash_hamming_threshold)
+    pairs, _ = hamming_candidate_pairs(bb, cfg.max_bucket_size,
+                                       with_distance=True)
+    return pairs.select("id_l", "id_r", F.col("dist").alias("hamming"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         prefix_tokens: int = 5,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_block_size: int = 2000,
+                        return_dropped: bool = False):
     """Blocked exact n-gram Jaccard (SQL-expressible — the DuckDB
     oracle recomputes it): block on the first ``prefix_tokens`` tokens,
-    then exact token-k-gram Jaccard within each block."""
+    then exact token-k-gram Jaccard within each block.
+
+    Hot-block cap: a block of size s is s(s-1)/2 pairs in one task, and
+    templated corpora (boilerplate openings) concentrate the corpus
+    into a few blocks. Blocks larger than ``max_block_size`` are
+    DROPPED from pairing — not salted, because the prefix block is the
+    only chance a pair gets (no other band catches it), so salting
+    would silently split true pairs; an over-cap prefix is a stop-
+    pattern, not a duplicate signal. Dropped blocks are returned
+    (``return_dropped=True`` -> (pairs, dropped(block, block_size))) so
+    the caller can meter skipped work, matching candidate_pairs."""
     feats = (
         df.select(F.col(id_col).alias("id"), normalize_expr(text_col).alias("t"))
         .withColumn("toks", F.split("t", " "))
@@ -96,19 +129,56 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         .withColumn("grams", F.array_distinct(shingles_expr("toks", k)))
         .select("id", "block", "grams")
     )
-    left = feats.select(F.col("id").alias("id_l"), "block",
-                        F.col("grams").alias("g_l"))
-    right = feats.select(F.col("id").alias("id_r"), "block",
-                         F.col("grams").alias("g_r"))
+    sizes = feats.groupBy("block").agg(F.count("*").alias("block_size"))
+    admitted = sizes.where(
+        (F.col("block_size") > 1) & (F.col("block_size") <= max_block_size)
+    ).select("block")
+    dropped = sizes.where(F.col("block_size") > max_block_size)
+    blocked = feats.join(admitted, "block", "left_semi")
+    left = blocked.select(F.col("id").alias("id_l"), "block",
+                          F.col("grams").alias("g_l"))
+    right = blocked.select(F.col("id").alias("id_r"), "block",
+                           F.col("grams").alias("g_r"))
     inter = F.size(F.array_intersect("g_l", "g_r"))
     union = F.size(F.array_union("g_l", "g_r"))
-    return (
+    pairs = (
         left.join(right, "block")
         .where(F.col("id_l") < F.col("id_r"))
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .where(F.col("jaccard") >= threshold)
         .select("id_l", "id_r", "jaccard")
     )
+    return (pairs, dropped) if return_dropped else pairs
+
+
+def lsh_tables_for_recall(threshold: float, n_planes: int,
+                          probe_radius: int,
+                          target_miss: float = 0.01,
+                          max_tables: int = 16) -> int:
+    """How many independent hyperplane tables a pair at EXACTLY
+    ``threshold`` cosine needs to be blocked together with miss
+    probability <= ``target_miss``.
+
+    Each plane splits a boundary pair with p = acos(threshold)/pi;
+    one table catches it iff <= probe_radius of its n_planes bits
+    differ (the multiprobe masks), q = P(Binom(n_planes, p) <=
+    probe_radius); L tables miss with (1-q)^L. E.g. threshold 0.99 ->
+    p~0.045, q~0.84, L=3; threshold 0.95 -> p~0.101, q~0.51, L=7.
+    Pairs ABOVE the threshold do strictly better. Capped at
+    ``max_tables`` — beyond that the threshold is too loose for
+    hyperplane LSH and the cap is reported by the docstring contract,
+    not silently exceeded."""
+    import math
+
+    p = math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    q = sum(
+        math.comb(n_planes, j) * p**j * (1 - p) ** (n_planes - j)
+        for j in range(min(probe_radius, n_planes) + 1)
+    )
+    if q >= 1.0 - 1e-12:
+        return 1
+    return max(1, min(math.ceil(math.log(target_miss) / math.log(1.0 - q)),
+                      max_tables))
 
 
 def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -117,20 +187,26 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
                            threshold: float = 0.95,
                            n_planes: int = 16,
                            probe_radius: int = 1,
+                           n_tables: int | None = None,
+                           target_miss: float = 0.01,
                            seed: int = 42) -> DataFrame:
     """Embedding-cosine near-dup pairs.
 
-    Default blocker: hyperplane-LSH buckets with Hamming-<=probe_radius
-    multiprobe (sign random projection, operators/ann.py). A pair at
-    cosine >= threshold subtends an angle <= acos(threshold); each
-    hyperplane splits it with probability angle/pi (e.g. ~2.6% at
-    0.99), so a miss needs > probe_radius of n_planes splits — the
-    blocker is near-exhaustive for near-dup thresholds WITHOUT any
-    all-pairs join. ``block_col`` substitutes a semantic blocker
-    (test harness / pre-computed IVF cell).
+    Default blocker: ``n_tables`` independent hyperplane-LSH tables
+    (sign random projection, operators/ann.py), each probed within
+    Hamming <= probe_radius (multiprobe). One table alone is NOT
+    near-exhaustive away from threshold ~1.0 — at threshold 0.95 a
+    boundary pair splits each of 16 planes with p~0.10, so a single
+    radius-1 table misses ~49% of boundary pairs. OR-amplification
+    fixes that: with ``n_tables=None`` the table count is derived from
+    the threshold (lsh_tables_for_recall) so a pair AT the threshold is
+    missed with probability <= ``target_miss`` (1% default); pairs
+    above the threshold do strictly better. ``block_col`` substitutes a
+    semantic blocker (test harness / pre-computed IVF cell).
 
-    Bucket size is bounded by construction for near-dup workloads
-    (bucket = 2^-n_planes of the corpus in expectation); dot products
+    Bucket size stays bounded (2^-n_planes of the corpus per table in
+    expectation); candidate generation is ids-only (the explode factor
+    n_tables*(1+n_planes) rides 16 B rows, never vectors); dot products
     via zip_with+aggregate — JVM-side, no Python in the pair join.
     """
     base = df.select(
@@ -148,26 +224,46 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
     )
     if not block_col:
         from deduper_spark.operators.ann import (
-            hyperplane_signature_udf,
+            hyperplane_signatures_udf,
             probe_masks,
         )
 
-        dim = base.select(F.size("v").alias("d")).limit(1).collect()[0]["d"]
-        sig = hyperplane_signature_udf(dim, n_planes, seed)
+        dim_row = base.select(F.size("v").alias("d")).limit(1).collect()
+        if not dim_row:  # empty input: no pairs, schema preserved
+            return base.sparkSession.createDataFrame(
+                [], base.select(
+                    F.col("id").alias("id_l"), F.col("id").alias("id_r"),
+                    F.lit(0.0).alias("cosine"),
+                ).schema
+            )
+        dim = dim_row[0]["d"]
+        if n_tables is None:
+            n_tables = lsh_tables_for_recall(threshold, n_planes,
+                                             probe_radius, target_miss)
+        sigs = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
         # candidate generation on IDS ONLY (16 B/row through the bucket
         # join + pair dedupe); the 8 B x dim vectors join back by id
         # AFTER dedupe — never shuffled per-probe or per-duplicate-pair
-        ids = base.withColumn("sig", sig("v")).select("id", "sig")
+        ids = base.withColumn("sigs", sigs("v")).select("id", "sigs")
         masks = F.array(*[F.lit(m) for m in probe_masks(n_planes, probe_radius)])
-        left = ids.select(
-            F.col("id").alias("id_l"),
-            F.explode(
-                F.transform(masks, lambda m: F.col("sig").bitwiseXOR(m))
-            ).alias("block"),
+        left = (
+            ids.select(
+                F.col("id").alias("id_l"),
+                F.posexplode("sigs").alias("table", "sig"),
+            )
+            .select(
+                "id_l", "table",
+                F.explode(
+                    F.transform(masks, lambda m: F.col("sig").bitwiseXOR(m))
+                ).alias("block"),
+            )
         )
-        right = ids.select(F.col("id").alias("id_r"), F.col("sig").alias("block"))
+        right = ids.select(
+            F.col("id").alias("id_r"),
+            F.posexplode("sigs").alias("table", "block"),
+        )
         cand = (
-            left.join(right, "block")
+            left.join(right, ["table", "block"])
             .where(F.col("id_l") < F.col("id_r"))
             .select("id_l", "id_r")
             .dropDuplicates(["id_l", "id_r"])

@@ -131,6 +131,7 @@ def hamming_candidate_pairs(
     max_bucket_size: int = 200,
     hot_bucket_policy: str = "salt",
     salt_cap: int = 20_000,
+    with_distance: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """candidate_pairs for Hamming families (simhash/phash), with the
     exact predicate evaluated INLINE in the co-located self-join.
@@ -147,7 +148,9 @@ def hamming_candidate_pairs(
 
     buckets: (family, band, bucket, id, val, max_ham). Sizing, salting
     and hot-bucket accounting are identical to candidate_pairs.
-    Returns (pairs(id_l, id_r, families), dropped_buckets).
+    Returns (pairs(id_l, id_r, families), dropped_buckets);
+    ``with_distance`` adds the pair's Hamming distance (min across
+    families — for a single-family input it IS the distance).
     """
     key = ["family", "band", "bucket"]
     sizes = buckets.groupBy(*key).agg(F.count("*").alias("bucket_size"))
@@ -171,16 +174,17 @@ def hamming_candidate_pairs(
                     F.col("val").alias("val_l"), "max_ham")
     right = b.select(*key, F.col("id").alias("id_r"),
                      F.col("val").alias("val_r"))
-    pairs = (
+    dist = F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
+    joined = (
         left.join(right, key, "inner")
         .where(F.col("id_l") < F.col("id_r"))
-        .where(
-            F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
-            <= F.col("max_ham")
-        )
-        .groupBy("id_l", "id_r")
-        .agg(F.collect_set("family").alias("families"))
+        .where(dist <= F.col("max_ham"))
     )
+    aggs = [F.collect_set("family").alias("families")]
+    if with_distance:
+        joined = joined.withColumn("dist", dist)
+        aggs.append(F.min("dist").alias("dist"))
+    pairs = joined.groupBy("id_l", "id_r").agg(*aggs)
     return pairs, dropped
 
 

@@ -77,13 +77,19 @@ def winnowed_substring_pairs(
     min_len: int = 45,
     k: int = 32,
     max_fp_bucket: int = 2000,
-) -> DataFrame:
+    return_dropped: bool = False,
+):
     """EXACT distributed substring pass: all pairs sharing any substring
     of length >= min_len — recall 1.0 by the winnowing guarantee
-    (functions/winnow.py), precision 1.0 by per-pair literal
-    verification. The scale-correct successor to the per-shard SA pass:
-    no doc sharding, so there is NO cross-shard recall gap at any
-    parallelism.
+    (functions/winnow.py) AMONG ADMITTED fingerprint buckets, precision
+    1.0 by per-pair literal verification. Buckets larger than
+    ``max_fp_bucket`` are stop-patterns (license headers, boilerplate)
+    and are dropped from pairing — so on boilerplate-heavy corpora the
+    recall-1.0 guarantee is qualified by the cap, and the dropped set
+    is REPORTED (``return_dropped=True`` -> (pairs, dropped(fp, n))),
+    never silently eaten (same contract as lsh.candidate_pairs). The
+    scale-correct successor to the per-shard SA pass: no doc sharding,
+    so there is NO cross-shard recall gap at any parallelism.
 
     Plan shape (what survives 10^12 rows):
       1. fingerprints: narrow mapInPandas (numpy winnow kernel) →
@@ -120,6 +126,7 @@ def winnowed_substring_pairs(
 
     sizes = buckets.groupBy("fp").agg(F.count("*").alias("n"))
     admitted = sizes.where((F.col("n") > 1) & (F.col("n") <= max_fp_bucket))
+    dropped = sizes.where(F.col("n") > max_fp_bucket)
     b = buckets.join(admitted.select("fp"), "fp")
     cand = (
         b.alias("l")
@@ -147,7 +154,8 @@ def winnowed_substring_pairs(
     verified = paired.select("id_l", "id_r", "t_l", "t_r").mapInPandas(
         verify, schema="id_l string, id_r string"
     )
-    return verified.withColumn("families", F.array(F.lit("substring_win")))
+    pairs = verified.withColumn("families", F.array(F.lit("substring_win")))
+    return (pairs, dropped) if return_dropped else pairs
 
 
 def containment_pairs(

@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from deduper_spark.config import DedupConfig
 from deduper_spark.functions.keys import md5_key_expr
@@ -266,12 +267,23 @@ class DedupPipeline:
                     )
                     # deterministic sample cap: decode cost and the
                     # bytes-pair shuffle stay bounded at any corpus size;
-                    # a violation in the sample fails the run. One action:
-                    # verify_psnr with threshold -inf returns every sampled
-                    # pair scored, aggregated to (sampled, passed) here.
+                    # a violation in the sample fails the run. The sample
+                    # is a PURE predicate — pmod(xxhash64(pair)) below a
+                    # cutoff sized from the candidate count — so two runs
+                    # at different partitionings audit the IDENTICAL pair
+                    # set (a .limit(n) cut would take whichever rows
+                    # arrive first). ham_ok scans the pinned fuzzy_ok, so
+                    # the sizing count is a cheap cached-scan job.
+                    n_ham = ham_ok.count()
+                    cut = min(
+                        1_000_000,
+                        (1_000_000 * cfg.psnr_audit_pairs)
+                        // max(n_ham, 1) + 1,
+                    )
                     sampled = ham_ok.where(
-                        F.pmod(F.xxhash64("id_l", "id_r"), F.lit(4)) == 0
-                    ).limit(cfg.psnr_audit_pairs)
+                        F.pmod(F.xxhash64("id_l", "id_r"), F.lit(1_000_000))
+                        < F.lit(cut)
+                    )
                     scored = verify_psnr(sampled, img, float("-inf"))
                     t_aud = time.time()
                     row = scored.agg(
@@ -392,10 +404,21 @@ class DedupPipeline:
         try:
             seen = (spark.read.parquet(path) if "/" in path
                     else spark.read.table(path))
-        except Exception:  # noqa: BLE001 — path not written yet
+        except AnalysisException as exc:
+            # ONLY a genuinely absent ledger is a first run; anything
+            # else (schema trouble, permissions) must raise
+            probe = getattr(exc, "getCondition",
+                            getattr(exc, "getErrorClass", lambda: ""))
+            klass = str(probe() or "")
+            if ("PATH_NOT_FOUND" not in klass
+                    and "TABLE_OR_VIEW_NOT_FOUND" not in klass):
+                raise
             self.metrics.append({"stage": "seen_preload", "hashes": 0,
                                  "note": "no ledger at path (first run)"})
             return None
+        # any OTHER read failure (corrupt parquet, permissions) raises:
+        # treating it as "first run" would silently disable incremental
+        # dedup and re-emit previously-seen rows as survivors
         return seen.select(F.col("hash").alias("exact_hash")).distinct()
 
     def run(self, spark: SparkSession, df: DataFrame) -> PipelineResult:
@@ -411,6 +434,7 @@ class DedupPipeline:
         pre_rows = 0
         pre_groups = 0
         pre_hashes = 0
+        pre_group_detail: DataFrame | None = None
         seen = self._preload_seen(spark)
         if seen is not None:
             seen = seen.localCheckpoint()
@@ -424,6 +448,26 @@ class DedupPipeline:
                                  "hashes": pre_hashes,
                                  "seen_rows": pre_rows})
             if pre_rows:
+                # group detail for preloaded hits (reference golden:
+                # DeduperTest.kt sourceHashTable expects report.dupes to
+                # hold EVERY preloaded-hit group). The survivor lives in
+                # a PRIOR run, so survivor_id is null and the group is
+                # keyed by its exact hash (no fresh cluster id exists);
+                # size-1 groups stay — one seen row IS a dupe of the
+                # ledger.
+                pre_group_detail = (
+                    feats.join(seen, "exact_hash", "left_semi")
+                    .groupBy("exact_hash")
+                    .agg(
+                        F.sort_array(F.collect_list("id")).alias("member_ids"),
+                        F.count("*").alias("n_members"),
+                    )
+                    .select(
+                        F.col("exact_hash").alias("cluster_id"),
+                        "member_ids", "n_members",
+                        F.lit(None).cast("string").alias("survivor_id"),
+                    )
+                )
                 feats = self._materialize(
                     spark, "features_fresh",
                     feats.join(seen, "exact_hash", "left_anti"),
@@ -461,6 +505,10 @@ class DedupPipeline:
             .withColumn("survivor_id", F.col("cluster_id"))
             .where(F.col("n_members") > 1)
         )
+        if pre_group_detail is not None:
+            dupe_groups = dupe_groups.select(
+                "cluster_id", "member_ids", "n_members", "survivor_id"
+            ).unionByName(pre_group_detail)
 
         ledger = feats.groupBy(F.col("exact_hash").alias("hash")).agg(
             F.min("id").alias("first_id")
@@ -506,8 +554,10 @@ class DedupPipeline:
             success=True,
         )
         # group detail (reference report.dupes, Deduper.kt:42-60) —
-        # cap-limited exactly like the exact path's build_report
-        if 0 < n_groups <= 1000:
+        # cap-limited exactly like the exact path's build_report;
+        # dupe_groups now includes preloaded-hit groups, so the cap
+        # gates on the TOTAL group count
+        if 0 < (n_groups + pre_groups) <= 1000:
             for r in dupe_groups.collect():
                 report.dupes[r["cluster_id"]] = {
                     "member_ids": list(r["member_ids"]),
@@ -537,7 +587,6 @@ class DedupPipeline:
             written = write_pipeline_outputs(
                 spark, result, report, cfg, n_fresh=n_records,
                 preloaded_hashes=pre_hashes,
-                preloaded_dupe_groups=pre_groups,
             )
             self.metrics.append({"stage": "sinks", **written})
 

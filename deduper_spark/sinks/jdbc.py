@@ -13,9 +13,10 @@ Persistors.kt:343-350 and 415-420). The Spark-first analog:
     (``df.write.jdbc`` handles batchsize/isolation per partition) —
     the reference's hand-rolled addBatch/commit loop (O17/O25) is
     obsolete under Spark;
-  * no JDBC driver jar ships in this sandbox, so ``write_jdbc`` is a
-    capability-gated thin wrapper; DDL generation is pure and fully
-    unit-tested.
+  * ``write_jdbc`` is exercised end-to-end against embedded Derby
+    (tests/test_jdbc_roundtrip.py — Spark ships derby on its own
+    classpath), including null preservation on the roundtrip; DDL
+    generation is pure and golden-pinned in unit tests.
 """
 
 from __future__ import annotations

@@ -67,7 +67,6 @@ def write_pipeline_outputs(
     config,  # DedupConfig
     n_fresh: int,
     preloaded_hashes: int = 0,
-    preloaded_dupe_groups: int = 0,
     reconcile: bool = True,
 ) -> dict[str, int]:
     """Write the fuzzy pipeline's configured sinks (DedupConfig
@@ -77,7 +76,9 @@ def write_pipeline_outputs(
 
       target   == record_count - dupe_count     (surviving rows)
       clusters == n_fresh                       (rows that entered clustering)
-      dupes    == distinct_dupe_count - preloaded_dupe_groups
+      dupes    == distinct_dupe_count           (incl. preloaded-hit groups —
+                                                 dupe_groups carries their
+                                                 detail rows too)
       hashes   == hash_count - preloaded_hashes (THIS run's ledger)
     """
     checks = {
@@ -85,7 +86,7 @@ def write_pipeline_outputs(
                    report.surviving_count),
         "clusters": (config.clusters_path, result.clusters, n_fresh),
         "dupes": (config.dupes_path, result.dupe_groups,
-                  report.distinct_dupe_count - preloaded_dupe_groups),
+                  report.distinct_dupe_count),
         "hashes": (config.hashes_path, result.hash_ledger,
                    report.hash_count - preloaded_hashes),
     }

@@ -49,9 +49,12 @@ def read_sql(spark: SparkSession, table_or_query: str) -> DataFrame:
 
 def read_jdbc(spark: SparkSession, url: str, table: str,
               properties: dict | None = None) -> DataFrame:
-    """JDBC source (reference O1/O3). Requires a driver jar on the
-    classpath — absent in this sandbox, so calls surface Spark's own
-    ClassNotFound error; the API contract is what the engine ships."""
+    """JDBC source (reference O1/O3). ``table`` may be a table name or
+    a parenthesized subquery (Spark pushes it down verbatim). Requires
+    the vendor driver jar on the classpath; exercised end-to-end
+    against embedded Derby (tests/test_jdbc_roundtrip.py — Spark ships
+    derby on its own classpath), mirroring the reference's
+    chinook-tracks null roundtrip (DeduperTest.kt:353-392)."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
