@@ -43,7 +43,10 @@ class FuzzyConfig:
     # payload per candidate pair) — phash Hamming is the production
     # verifier, PSNR the statistical fidelity audit.
     psnr_mode: str = "full"
-    psnr_audit_pairs: int = 20_000
+    # ~target audited pairs (pure-predicate sample, pipeline.py). 2000
+    # bounds the decode cost at ANY corpus size while still flagging a
+    # >=0.15% fidelity violation rate with >95% probability (binomial)
+    psnr_audit_pairs: int = 2_000
     # skew control: max rows admitted per LSH bucket before salting/capping
     max_bucket_size: int = 200
 

@@ -3,19 +3,20 @@
 These are the per-batch kernels called from vectorized pandas UDFs /
 ``mapInPandas`` — never per-row Python in the Spark hot path.
 
-Codec: the sandbox container has no image libraries, so real PNG/JPEG
-decode is STUBBED (gated behind a PIL import-try that raises
-``NotImplementedError``). The engine's own deterministic container
-format ("dspk") keeps the whole Spark-side plumbing — binary column,
-batch shapes, decode→verify join — real and testable:
-
-    b"DSP0" | w:uint32le | h:uint32le | raw RGB uint8      (lossless)
-    b"DSP1" | w:uint32le | h:uint32le | quantized RGB      (lossy, q=2)
-
-The lossy variant quantizes each channel to even values — max abs
-error 1, PSNR ≈ 48 dB — a deterministic stand-in for JPEG q>=95
-(reference invariant: PSNR >= 40 dB for lossy re-encodes, per
-BASELINE.json input_hint).
+Codec surface:
+  * REAL PNG decode/encode — from-scratch stdlib zlib + NumPy codec
+    (functions/png.py, RFC 2083): the synthetic flagship corpus is
+    genuine PNG bytes, and any 8-bit non-interlaced PNG decodes here
+    with no image library;
+  * the engine's own deterministic "dspk" container, kept for
+    plumbing tests and as the raw fast path:
+        b"DSP0" | w:uint32le | h:uint32le | raw RGB uint8   (lossless)
+        b"DSP1" | w:uint32le | h:uint32le | quantized RGB   (lossy, q=2)
+  * JPEG remains honestly STUBBED (PIL import-try) — a DCT+Huffman
+    decoder is out of scope for this container; the deterministic
+    quantize-then-PNG re-encode stands in for a lossy codec (max abs
+    error 1 -> PSNR ~48 dB, above the 40 dB reference invariant from
+    BASELINE.json input_hint).
 
 phash: the standard public DCT perceptual-hash algorithm — grayscale,
 block-mean resize to 32x32, 2-D DCT-II, top-left 8x8 low-frequency
@@ -50,12 +51,17 @@ def encode_image(pixels: np.ndarray, lossy: bool = False) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """container bytes → (h, w, 3) uint8. Real PNG/JPEG is stubbed."""
+    """container bytes → (h, w, 3) uint8. dspk and REAL PNG decode
+    natively; JPEG (and other formats) fall to the PIL stub."""
     magic = bytes(buf[:4])
     if magic in (MAGIC_LOSSLESS, MAGIC_LOSSY):
         w, h = struct.unpack("<II", bytes(buf[4:12]))
         return np.frombuffer(buf, dtype=np.uint8, offset=12).reshape(h, w, 3)
-    # STUB: real codecs need an image library absent from this container.
+    if magic == b"\x89PNG":
+        from deduper_spark.functions.png import decode_png
+
+        return decode_png(bytes(buf))
+    # STUB: JPEG/other codecs need an image library absent here.
     try:
         import io
 
@@ -64,8 +70,8 @@ def decode_image(buf: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "real PNG/JPEG decode requires PIL/pillow (not in this container); "
-            "use the deterministic 'dspk' container format"
+            "JPEG decode requires PIL/pillow (not in this container); "
+            "PNG and the deterministic 'dspk' container decode natively"
         ) from exc
 
 

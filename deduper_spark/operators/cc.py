@@ -92,36 +92,40 @@ def connected_components(
     if algorithm == "label_prop":
         return label_propagation_components(edges, nodes, max_iter)
 
-    e = (
+    e0 = (
         edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
-    # every node that appears in any INPUT edge must get a label even
-    # after contraction rewires it away — pin the node set up front
-    edge_nodes = (
-        e.select(F.col("src").alias("id"))
-        .unionByName(e.select(F.col("dst").alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
 
+    e = e0
     converged = e.limit(1).count() == 0
-    n_prev = -1
     for _it in range(max_iter):
         if converged:
             break
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        n_new = e2.count()
-        # convergence = exact edge-set fixpoint: same cardinality AND
-        # no edge outside the previous set (set equality, not a
-        # checksum — a wrong early exit would corrupt cluster ids)
-        if n_new == n_prev and e2.exceptAll(e).limit(1).count() == 0:
-            e = e2
-            converged = True
-            break
-        e, n_prev = e2, n_new
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # PROVABLE fixpoint test, checked in the SAME round it is
+        # reached (an equality check against the previous edge set
+        # would burn one extra full iteration): both phases emit edges
+        # oriented src > dst, and the fixpoints of the alternating
+        # algorithm are exactly star forests — every child points at
+        # its one root, roots never appear as src. So converged iff
+        #   (a) each src has exactly one edge (count == distinct srcs)
+        #   (b) no src ever appears as dst
+        # — two cheap aggregations over the just-checkpointed edges.
+        stats = e.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("src").alias("n_src"),
+        ).collect()[0]
+        if stats["n"] == stats["n_src"]:
+            roots_as_src = (
+                e.select("dst").join(e.select(F.col("src").alias("dst")),
+                                     "dst", "left_semi").limit(1).count()
+            )
+            if roots_as_src == 0:
+                converged = True
+                break
 
     if not converged:
         # silent truncation would split components into WRONG cluster
@@ -131,23 +135,22 @@ def connected_components(
             f"max_iter={max_iter} rounds"
         )
 
-    # at the fixpoint the edges are stars (child > root): every
-    # non-root points at its component min; label(u) = min(u, min
-    # neighbor) covers roots (only appear as dst) and children alike
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    # star forest: children label with their root, roots with themselves
     labels = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("nmin"))
-        .select(F.col("src").alias("id"),
-                F.least("src", "nmin").alias("cluster_id"))
+        e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("dst").alias("id")).distinct()
+            .withColumn("cluster_id", F.col("id"))
+        )
     )
-    # rewiring can drop a node entirely (e.g. interior chain nodes once
-    # contracted) — they are in edge_nodes and label as members via
-    # ... no: a dropped node only vanishes when its edges were rewired
-    # INTO the star, which keeps it as a src. Guard anyway: any input
-    # node missing from labels keeps itself (assert-equivalent join).
+    # contraction never drops a connected node from the edge set, but
+    # guard anyway: any ORIGINAL edge endpoint missing from labels
+    # keeps itself (a silent drop would mislabel survivors)
+    edge_nodes = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     missing = edge_nodes.join(labels.select("id"), "id", "left_anti")
     out = labels.unionByName(
         missing.withColumn("cluster_id", F.col("id"))

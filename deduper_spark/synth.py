@@ -28,7 +28,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from deduper_spark.functions.phash import decode_image, encode_image, phash64
+from deduper_spark.functions.phash import decode_image, phash64
+from deduper_spark.functions.png import encode_png
 
 IMG = 64          # base image side (pixels)
 BLOCK = 10
@@ -99,27 +100,32 @@ def make_row(seed: int, i: int) -> dict:
     pixels = _pixels(seed, base_i)
     tokens = _caption_tokens(seed, base_i)
 
+    # every blob is a REAL PNG (functions/png.py — stdlib zlib codec);
+    # the lossy re-encode is a deterministic quantization (q=2, max abs
+    # error 1 -> PSNR ~48 dB >= the 40 dB reference invariant) inside a
+    # fresh PNG container — a real lossy transform in a real format
     if klass == "reencode":
-        buf = encode_image(pixels, lossy=True)
-        fmt = "jpeg"
-        pixels_dec = decode_image(buf)
-        ph = phash64(pixels_dec)
+        quant = ((pixels.astype(np.uint16) + 1) // 2 * 2)
+        quant = np.clip(quant, 0, 255).astype(np.uint8)
+        buf = encode_png(quant)
+        fmt = "png"
+        ph = phash64(decode_image(buf))
         caption = " ".join(tokens)
     elif klass == "caption_near":
-        buf = encode_image(pixels, lossy=False)
+        buf = encode_png(pixels)
         fmt = "png"
         ph = phash64(pixels)
         extra = _caption_tokens(seed, i)[:2]
         caption = " ".join(tokens + extra)          # append → high Jaccard
     elif klass == "substring":
-        buf = encode_image(pixels, lossy=False)
+        buf = encode_png(pixels)
         fmt = "png"
         ph = phash64(pixels)
         pre = _caption_tokens(seed, i)[:6]
         post = _caption_tokens(seed, i)[6:12]
         caption = " ".join(pre) + " " + " ".join(tokens) + " " + " ".join(post)
     else:  # base / exact
-        buf = encode_image(pixels, lossy=False)
+        buf = encode_png(pixels)
         fmt = "png"
         ph = phash64(pixels)
         caption = " ".join(tokens)

@@ -120,5 +120,10 @@ def test_phash_invariance_and_separation():
 
 
 def test_decode_unknown_format_raises():
-    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
+    # JPEG (and any unknown magic) stays stubbed behind the PIL try
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0xxxxxxxxxxxx")
+    # PNG now decodes NATIVELY; garbage after a PNG signature is a
+    # ValueError (the multimodal isolation path catches it)
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx")
