@@ -103,7 +103,11 @@ def main() -> None:
     _w = make_df(spark, seed=43, n=1000).persist()
     _w.count()
     DedupPipeline(
-        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False),
         collect_metrics=False,
     ).run(spark, _w)
     _w.unpersist()
@@ -113,7 +117,11 @@ def main() -> None:
     # audit PSNR = the production path (capped fidelity sample);
     # exhaustive pixel verification is exercised by the test suite
     res = DedupPipeline(
-        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False),
         collect_metrics=False,
     ).run(spark, df)
     _force(res.clusters)

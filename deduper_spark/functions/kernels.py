@@ -137,6 +137,37 @@ def simhash_kernel(hash_lists: pd.Series,
     return pd.Series(packed.astype(np.int64))
 
 
+def minhash_bucket_kernel(hash_lists: pd.Series, num_perm: int,
+                          bands: int, seed: int) -> pd.Series:
+    """OPH minhash signature FUSED with LSH banding: returns ``bands``
+    int64 bucket hashes per row instead of the num_perm-element
+    signature. The signature is a kernel-internal intermediate — the
+    Arrow return payload drops from num_perm x 8 B (1 KB at 128 perms)
+    to bands x 8 B (128 B at 16 bands), which matters because the
+    features stage is memory-bandwidth-bound at high thread counts
+    (measured: per-stream bandwidth drops ~3x from 8 to 32 concurrent
+    workers, so every byte through Arrow costs triple at local[32]).
+    Bucket = iterated splitmix64 over the band's signature slice —
+    deterministic, full-width mixing; identical sets → identical
+    buckets (the LSH contract)."""
+    sigs = minhash_kernel(hash_lists, num_perm, seed)
+    n = len(sigs)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    rpb = num_perm // bands
+    m = np.stack([np.asarray(s, dtype=np.int64) for s in sigs]).astype(
+        np.uint64
+    ).reshape(n, bands, rpb)
+    with np.errstate(over="ignore"):
+        acc = np.arange(bands, dtype=np.uint64)[None, :] + np.uint64(1)
+        acc = np.broadcast_to(acc, (n, bands)).copy()
+        for j in range(rpb):
+            acc ^= m[:, :, j]
+            # splitmix64 over the (n, bands) accumulator
+            acc = splitmix64_inplace(acc.copy())
+    return pd.Series(list(acc.astype(np.int64)))
+
+
 def jaccard_estimate(sig_a, sig_b) -> float:
     return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
 

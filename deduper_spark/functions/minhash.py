@@ -53,3 +53,23 @@ def minhash_expr(shingle_hashes: str | Column, num_perm: int = 128,
                  seed: int = 42) -> Column:
     c = F.col(shingle_hashes) if isinstance(shingle_hashes, str) else shingle_hashes
     return minhash_udf(num_perm, seed)(c)
+
+
+def minhash_buckets_udf(num_perm: int = 128, bands: int = 16,
+                        seed: int = 42):
+    """Fused signature + banding (kernels.minhash_bucket_kernel): the
+    UDF returns the per-band bucket hashes directly — 8x less Arrow
+    return payload than shipping the signature out for JVM banding."""
+    from deduper_spark.functions import kernels
+
+    def _buckets(hashes):
+        return kernels.minhash_bucket_kernel(hashes, num_perm, bands, seed)
+
+    return F.pandas_udf(_buckets, ArrayType(LongType()))
+
+
+def minhash_buckets_expr(shingle_hashes: str | Column,
+                         num_perm: int = 128, bands: int = 16,
+                         seed: int = 42) -> Column:
+    c = F.col(shingle_hashes) if isinstance(shingle_hashes, str) else shingle_hashes
+    return minhash_buckets_udf(num_perm, bands, seed)(c)

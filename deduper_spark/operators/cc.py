@@ -50,12 +50,14 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .agg(F.min("dst").alias("nmin"))
         .select("src", F.least("src", "nmin").alias("m"))
     )
+    # NO distinct here: duplicate emissions are harmless to the next
+    # small-star (its min-agg and final distinct absorb them) and the
+    # dedup shuffle is pure overhead in the alternating loop
     return (
         sym.join(with_min, "src")
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -136,25 +138,28 @@ def connected_components(
         )
 
     # star forest: children label with their root, roots with themselves
+    roots = e.select(F.col("dst").alias("id")).distinct()
     labels = (
         e.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
-        .unionByName(
-            e.select(F.col("dst").alias("id")).distinct()
-            .withColumn("cluster_id", F.col("id"))
+        .unionByName(roots.withColumn("cluster_id", F.col("id")))
+    )
+    # contraction never drops a connected node (every rewiring target is
+    # an existing node id, so endpoints(e) ⊆ endpoints(e0)); ASSERT that
+    # with one count aggregation instead of a distinct + anti-join pair
+    # of shuffles — a mismatch means mislabeled survivors, so fail hard
+    if e is not e0:
+        n_labeled = labels.count()
+        n_orig = (
+            e0.select(F.col("src").alias("id"))
+            .unionByName(e0.select(F.col("dst").alias("id")))
+            .agg(F.count_distinct("id").alias("n")).collect()[0]["n"]
         )
-    )
-    # contraction never drops a connected node from the edge set, but
-    # guard anyway: any ORIGINAL edge endpoint missing from labels
-    # keeps itself (a silent drop would mislabel survivors)
-    edge_nodes = (
-        e0.select(F.col("src").alias("id"))
-        .unionByName(e0.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    missing = edge_nodes.join(labels.select("id"), "id", "left_anti")
-    out = labels.unionByName(
-        missing.withColumn("cluster_id", F.col("id"))
-    )
+        if n_labeled != n_orig:
+            raise RuntimeError(
+                f"connected_components lost nodes during contraction: "
+                f"{n_orig} edge endpoints, {n_labeled} labeled"
+            )
+    out = labels
 
     if nodes is not None:
         singletons = (

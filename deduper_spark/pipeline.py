@@ -35,7 +35,7 @@ from pyspark.errors import AnalysisException
 
 from deduper_spark.config import DedupConfig
 from deduper_spark.functions.keys import md5_key_expr
-from deduper_spark.functions.minhash import minhash_expr
+from deduper_spark.functions.minhash import minhash_buckets_expr
 from deduper_spark.functions.simhash import simhash_expr
 from deduper_spark.functions.text import (
     normalize_expr,
@@ -47,7 +47,6 @@ from deduper_spark.functions.text import (
 from deduper_spark.operators.cc import connected_components
 from deduper_spark.operators.lsh import (
     array_band_buckets,
-    band_bucket_array_expr,
     candidate_pairs,
     hamming_candidate_pairs,
     int64_band_buckets,
@@ -134,7 +133,11 @@ class DedupPipeline:
     def features(self, df: DataFrame) -> DataFrame:
         """Narrow stage: all signatures in one projection (no shuffle).
         `bytes` is intentionally NOT carried — it re-enters only in the
-        PSNR pair join."""
+        PSNR pair join. The raw `caption` is carried ONLY when the JSON
+        ledger needs it (include_json): this stage is memory-bandwidth-
+        bound at high thread counts, so the checkpointed row holds the
+        minimum — hashes, buckets, fingerprints, and norm_caption (for
+        the substring family)."""
         cfg = self.config.fuzzy
         out = df.select(
             F.col(self.config.order_col).alias("id"),
@@ -156,24 +159,23 @@ class DedupPipeline:
             md5_key_expr(["caption", "phash"]),
         )
         if "minhash" in self.families:
-            # band the signature HERE and keep only the bucket array:
-            # the checkpointed row carries bands longs, not the full
-            # num_perm-element signature (verification uses the exact
-            # shingle sets, never the signature — lsh.py rationale)
+            # signature + banding FUSED inside the UDF: the Arrow
+            # return payload is bands longs (128 B), not the full
+            # num_perm signature (1 KB) — verification uses the exact
+            # shingle sets, never the signature (lsh.py rationale)
             out = out.withColumn(
-                "minhash_sig",
-                minhash_expr("shingle_hashes", cfg.num_perm,
-                             cfg.minhash_seed),
-            ).withColumn(
                 "minhash_buckets",
-                band_bucket_array_expr("minhash_sig", cfg.bands,
-                                       cfg.rows_per_band),
-            ).drop("minhash_sig")
+                minhash_buckets_expr("shingle_hashes", cfg.num_perm,
+                                     cfg.bands, cfg.minhash_seed),
+            )
         if "simhash" in self.families:
             out = out.withColumn(
                 "simhash", simhash_expr(token_hashes_expr("tokens"))
             )
-        return out.drop("tokens")
+        out = out.drop("tokens")
+        if not self.config.include_json:
+            out = out.drop("caption")
+        return out
 
     def candidate_edges(self, spark: SparkSession, feats: DataFrame,
                         images: DataFrame) -> DataFrame:

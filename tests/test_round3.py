@@ -302,6 +302,32 @@ def test_preload_seen_corrupt_ledger_raises(spark, tmp_path):
     assert res.report.success
 
 
+# --------------------------------------- fused minhash bucket kernel
+
+def test_minhash_bucket_kernel_properties():
+    """Fused signature+banding: identical sets -> identical buckets
+    (LSH contract), deterministic, near-identical sets share most
+    bands, disjoint sets share none."""
+    import numpy as np
+    import pandas as pd
+
+    from deduper_spark.functions.kernels import minhash_bucket_kernel
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1 << 62, size=100).tolist()
+    b = list(a)                     # identical set
+    c = a[:95] + rng.integers(0, 1 << 62, size=5).tolist()  # J ~ 0.9
+    d = rng.integers(0, 1 << 62, size=100).tolist()          # disjoint
+
+    out = minhash_bucket_kernel(pd.Series([a, b, c, d]), 128, 16, 42)
+    ba, bb, bc, bd = (np.asarray(x) for x in out)
+    assert np.array_equal(ba, bb)
+    assert (ba == bc).sum() >= 4      # high-Jaccard pair shares bands
+    assert (ba == bd).sum() == 0      # disjoint sets collide nowhere
+    out2 = minhash_bucket_kernel(pd.Series([a]), 128, 16, 42)
+    assert np.array_equal(np.asarray(out2[0]), ba)
+
+
 # ------------------------------------- winnowed dropped-fp metering
 
 def test_winnowed_substring_dropped_fp_metered(spark):

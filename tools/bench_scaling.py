@@ -65,10 +65,18 @@ from deduper_spark.config import FuzzyConfig
 # costs a long-lived cluster pays once at startup, not per job, so
 # they are excluded from the timed window like session startup is.
 _w = make_df(spark, 43, 1000).persist(); _w.count()
-DedupPipeline(DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+DedupPipeline(DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False),
               collect_metrics=False).run(spark, _w)
 _w.unpersist()
-cfg = DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"))
+cfg = DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False)
 t0 = time.time()
 res = DedupPipeline(cfg, collect_metrics=False).run(spark, df)
 res.clusters.write.format("noop").mode("overwrite").save()

@@ -48,14 +48,22 @@ def main() -> None:
     _w = make_df(spark, 43, 1000).persist()
     _w.count()
     DedupPipeline(
-        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False),
         collect_metrics=False,
     ).run(spark, _w)
     _w.unpersist()
 
     t0 = time.time()
     res = DedupPipeline(
-        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit")),
+        DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
+            # no JSON-ledger export in the benchmark: carrying raw
+            # captions through the bandwidth-bound features stage
+            # is the export path, not the dedup path
+            include_json=False),
         collect_metrics=False,
     ).run(spark, df)
     res.clusters.write.format("noop").mode("overwrite").save()
