@@ -59,10 +59,11 @@ def band_bucket_array_expr(sig_col: str | Column, bands: int,
     """Pre-band a signature into its per-band bucket hashes (array of
     ``bands`` longs) — same bucket values as band_buckets, computed
     eagerly so the checkpointed feature row carries ``bands`` longs
-    instead of the full num_perm-element signature (128 perms × 8 B =
-    1 KB/row vs 16 bucket longs — an ~8x cut in the materialized
-    feature payload, which is what the block manager / Iceberg
-    checkpoint actually stores at 10^12 rows)."""
+    instead of the full num_perm-element signature (an ~8x cut in the
+    materialized feature payload). NOTE: the flagship pipeline now
+    fuses banding INSIDE the minhash UDF (minhash_buckets_expr) so the
+    signature never crosses Arrow at all; this JVM-side variant remains
+    for callers that already hold a signature column."""
     sig = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
