@@ -479,6 +479,57 @@ def q_emb_lsh_ann(spark, sf_dir):
     )
 
 
+def q_event_rollup(spark, sf_dir):
+    """Hypertable-style time rollup: hourly buckets x event_type with
+    count + value cents (pure Catalyst groupBy with map-side partials;
+    operators/temporal.py). Bucket emitted as epoch seconds (BIGINT)
+    so the comparison is time-zone-proof."""
+    from deduper_spark.operators.temporal import time_rollup
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    out = time_rollup(
+        ev, ts_col="ts", bucket="hour", keys=("event_type",),
+        aggs=[
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value") * 100).cast("long").alias("value_cents"),
+        ],
+    )
+    return out.select(
+        F.unix_timestamp("bucket_ts").cast("long").alias("bucket_s"),
+        "event_type", "n_events", "value_cents",
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) -> per-session stats.
+    Window partitioned by user (hash shuffle on the entity key, no
+    global sort); gap math in exact integer microseconds."""
+    from deduper_spark.operators.temporal import session_stats
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, entity_col="user_id", ts_col="ts",
+                         gap_minutes=30.0, id_col="event_id").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events", "start_s", "end_s", "duration_s",
+    )
+
+
+def q_event_debounce(spark, sf_dir):
+    """Near-time duplicate suppression: drop an event when the same
+    user's previous event is < 4 h older (lag predicate, integer
+    microsecond gaps — pure window expression, no iterative state)."""
+    from deduper_spark.operators.temporal import debounce
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    kept = debounce(ev, keys=("user_id",), ts_col="ts",
+                    min_gap_seconds=14400.0, id_col="event_id")
+    return kept.select(F.col("event_id").cast("long").alias("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup_survivors": q_exact_dedup_survivors,
@@ -503,6 +554,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_sa": q_doc_substring_sa,
         "image_dedup_clusters": q_image_dedup_clusters,
         "emb_lsh_ann": q_emb_lsh_ann,
+        "event_rollup": q_event_rollup,
+        "event_sessions": q_event_sessions,
+        "event_debounce": q_event_debounce,
         # oracled via exact sketch contracts / planted truth (see the
         # per-query docstrings): hamming-0 simhash == token-multiset
         # equality; image features == index-derivable (decode_ok, w, h)
@@ -857,5 +911,53 @@ def oracle_sql() -> dict[str, str]:
                                                      neighbor_id ASC) rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "event_rollup": """
+            SELECT floor(epoch(date_trunc('hour', ts)))::BIGINT AS bucket_s,
+                   event_type,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value) * 100)::BIGINT AS value_cents
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH e AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                FROM events
+            ),
+            l AS (
+                SELECT user_id, event_id, ts_us,
+                       lag(ts_us) OVER (PARTITION BY user_id
+                                        ORDER BY ts_us, event_id) AS prev_us
+                FROM e
+            ),
+            s AS (
+                SELECT user_id, ts_us,
+                       sum(CASE WHEN prev_us IS NULL
+                                     OR ts_us - prev_us > 1800000000
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+                FROM l
+            )
+            SELECT user_id::BIGINT AS user_id, session_idx,
+                   count(*)::BIGINT AS n_events,
+                   min(ts_us // 1000000)::BIGINT AS start_s,
+                   max(ts_us // 1000000)::BIGINT AS end_s,
+                   (max(ts_us // 1000000) - min(ts_us // 1000000))::BIGINT
+                       AS duration_s
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "event_debounce": """
+            WITH l AS (
+                SELECT event_id,
+                       epoch_us(ts) - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS gap_us
+                FROM events
+            )
+            SELECT event_id::BIGINT AS event_id FROM l
+            WHERE gap_us IS NULL OR gap_us >= 14400000000
         """,
     }

@@ -78,6 +78,7 @@ def main() -> None:
         "doc_substring_sa",
         "emb_cosine_dups",
         "ann_topk",
+        "event_sessions",
     ]
     stage_counts: dict[str, int] = {}
     for name in headline:
