@@ -1,0 +1,582 @@
+"""Minimal real baseline JPEG codec — pure NumPy + stdlib (ITU-T T.81).
+
+Closes the "JPEG is stubbed" gap without any image library: baseline
+sequential DCT JPEG is 8x8 block DCT + quantization + canonical
+Huffman coding, all implementable from the public spec. The constant
+tables below are the example tables from ITU-T T.81 Annex K (the
+"standard" quantization + Huffman tables every interoperable codec
+ships).
+
+Supported:
+  * encode: 8-bit RGB, 4:4:4 (no subsampling, default) or 4:2:0
+    (``subsample=True``), IJG-style quality scaling (1..100),
+    deterministic output for a given input (fixed tables, no
+    optimization passes) — the synth corpus requires bytes to be a
+    pure function of ``(seed, i)``.
+  * decode: baseline sequential (SOF0), 8-bit, 1 or 3 components,
+    sampling factors 1 or 2 per axis (covers 4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals, 0xFF00 byte stuffing. Progressive (SOF2) and
+    arithmetic coding are rejected with ValueError (the multimodal
+    decode-isolation path maps that to decode_ok=false).
+
+Hot-path note: entropy coding is a per-symbol Python loop (inherently
+sequential bit I/O); DCT/IDCT/quantization are vectorized over all
+blocks. That makes this codec test/audit-grade — the benchmark corpus
+stays on the vectorized PNG/dspk paths, and JPEG rows at production
+scale would route decode through a JVM/Arrow library on a real
+cluster. What matters here is that the PSNR>=40dB fidelity invariant
+(BASELINE.json input_hint) is now exercised against a REAL lossy DCT
+codec, not a stand-in quantizer.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ------------------------------------------------------------------ tables
+# ITU-T T.81 Annex K.1 — example quantization tables
+Q_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+
+Q_CHROM = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+# zigzag scan order: ZIGZAG[k] = row-major index of the k-th coefficient
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# T.81 Annex K.3 — standard Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+          list(range(12)))
+DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+])
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * i + 1) * k / (2.0 * n))
+    m[0, :] = np.sqrt(1.0 / n)
+    return m
+
+
+_D8 = _dct_matrix(8)
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: 1..100 -> scaled Annex K tables."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (Q_LUM, Q_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _build_codes(table: tuple[list[int], list[int]]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
+    bits, vals = table
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(bits: list[int],
+                      vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+# ------------------------------------------------------------------ encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:       # byte stuffing (T.81 F.1.2.3)
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (category/size, amplitude bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_blocks(writer: _BitWriter, zz: np.ndarray, dc_codes: dict,
+                   ac_codes: dict, prev_dc: int) -> int:
+    """Entropy-code one component block (zz: 64 ints, zigzag order)."""
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - prev_dc)
+    code, length = dc_codes[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k] != 0:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_codes[0xF0]      # ZRL
+            writer.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_codes[(run << 4) | size]
+        writer.write(code, length)
+        writer.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, length = ac_codes[0x00]          # EOB
+        writer.write(code, length)
+    return dc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _pad_to(img: np.ndarray, mult: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        img = np.pad(img, [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2),
+                     mode="edge")
+    return img
+
+
+def _blockify(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W % 8 == 0 -> (H//8, W//8, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).swapaxes(1, 2)
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """level-shifted plane -> quantized zigzag coeffs (by, bx, 64)."""
+    blocks = _blockify(plane)
+    coef = np.einsum("ij,yxjk,lk->yxil", _D8, blocks, _D8)
+    q = np.round(coef / qtab).astype(np.int32)
+    return q.reshape(*q.shape[:2], 64)[..., ZIGZAG]
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes (deterministic).
+
+    ``subsample=True`` emits 4:2:0 (chroma averaged 2x2); default 4:4:4.
+    """
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    qlum, qchr = _quant_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels.astype(np.float64))
+
+    if subsample:
+        ycc = _pad_to(ycc, 16)
+        y = ycc[..., 0]
+        # 2x2 mean chroma
+        cb = ycc[..., 1].reshape(ycc.shape[0] // 2, 2,
+                                 ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr = ycc[..., 2].reshape(ycc.shape[0] // 2, 2,
+                                 ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        ycc = _pad_to(ycc, 8)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        samp = [(1, 1), (1, 1), (1, 1)]
+
+    zz = [
+        _fdct_quant(y - 128.0, qlum),
+        _fdct_quant(cb - 128.0, qchr),
+        _fdct_quant(cr - 128.0, qchr),
+    ]
+
+    dc_l, ac_l = _build_codes(DC_LUM), _build_codes(AC_LUM)
+    dc_c, ac_c = _build_codes(DC_CHROM), _build_codes(AC_CHROM)
+    comp_codes = [(dc_l, ac_l), (dc_c, ac_c), (dc_c, ac_c)]
+
+    writer = _BitWriter()
+    prev_dc = [0, 0, 0]
+    max_h, max_v = samp[0]
+    mcus_y = zz[0].shape[0] // max_v
+    mcus_x = zz[0].shape[1] // max_h
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in range(3):
+                hc, vc = samp[c]
+                for by in range(vc):
+                    for bx in range(hc):
+                        block = zz[c][my * vc + by, mx * hc + bx]
+                        prev_dc[c] = _encode_blocks(
+                            writer, block, comp_codes[c][0],
+                            comp_codes[c][1], prev_dc[c])
+    writer.flush()
+
+    # headers
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(qlum.reshape(64)[ZIGZAG].astype(
+        np.uint8)))
+    out += _seg(0xFFDB, b"\x01" + bytes(qchr.reshape(64)[ZIGZAG].astype(
+        np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (hc, vc), tq in ((1, samp[0], 0), (2, samp[1], 1),
+                              (3, samp[2], 1)):
+        sof += struct.pack(">BBB", cid, (hc << 4) | vc, tq)
+    out += _seg(0xFFC0, sof)                           # SOF0 baseline
+    for cls, tid, (bits, vals) in ((0, 0, DC_LUM), (1, 0, AC_LUM),
+                                   (0, 1, DC_CHROM), (1, 1, AC_CHROM)):
+        out += _seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                    + bytes(vals))
+    sos = b"\x03" + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00"
+    out += _seg(0xFFDA, sos)
+    out += writer.out
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ decoder
+
+class _BitReader:
+    """Bit-at-a-time reader over a destuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy data truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_huff(reader: _BitReader,
+                 dmap: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = dmap.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    data = bytes(buf)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None          # (h, w, comps) comps: list of (cid, hc, vc, tq)
+    restart_interval = 0
+    scan = None           # (comp order with table ids, entropy segments)
+
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = data[pos + 1]
+        if marker == 0xFF:                      # fill byte before a marker
+            pos += 1
+            continue
+        pos += 2
+        if marker == 0xD9:                      # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                            # standalone markers
+        if pos + 2 > n:
+            raise ValueError("truncated JPEG segment")
+        (length,) = struct.unpack(">H", data[pos:pos + 2])
+        payload = data[pos + 2:pos + length]
+        if len(payload) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += length
+        if marker == 0xDB:                      # DQT
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                t64 = np.frombuffer(payload[p + 1:p + 65], dtype=np.uint8)
+                if t64.size != 64:
+                    raise ValueError("truncated DQT")
+                qtabs[tq] = t64.astype(np.int32)[UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:                    # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                cnt = sum(bits)
+                vals = list(payload[p + 17:p + 17 + cnt])
+                if len(vals) != cnt:
+                    raise ValueError("truncated DHT")
+                huff[(cls, tid)] = _build_decode_map(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (baseline DCT)
+            prec, fh, fw, nc = struct.unpack(">BHHB", payload[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = payload[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X});"
+                " only baseline sequential is supported")
+        elif marker == 0xDD:                    # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:                    # SOS
+            ns = payload[0]
+            order = []
+            for c in range(ns):
+                cs, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                order.append((cs, tabs >> 4, tabs & 0x0F))
+            # entropy data runs from pos to the next real marker
+            segs: list[bytes] = []
+            cur = bytearray()
+            while pos < n:
+                b = data[pos]
+                if b == 0xFF and pos + 1 < n:
+                    nxt = data[pos + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        pos += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:     # RSTn: segment boundary
+                        segs.append(bytes(cur))
+                        cur = bytearray()
+                        pos += 2
+                        continue
+                    break                        # real marker ends the scan
+                cur.append(b)
+                pos += 1
+            segs.append(bytes(cur))
+            scan = (order, segs)
+            break                                # single-scan baseline
+        # other segments (APPn, COM) are skipped
+
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    if fh == 0 or fw == 0:
+        raise ValueError("JPEG empty frame")
+    order, segs = scan
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    if not all(c[1] in (1, 2) and c[2] in (1, 2) for c in comps):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcus_x = -(-fw // (8 * max_h))
+    mcus_y = -(-fh // (8 * max_v))
+
+    by_id = {c[0]: c for c in comps}
+    # coefficient stores per scan component, block coords
+    coef = {}
+    for cs, _td, _ta in order:
+        _cid, hc, vc, _tq = by_id[cs]
+        coef[cs] = np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int32)
+
+    mcu_idx = 0
+    seg_i = 0
+    reader = _BitReader(segs[0])
+    pred = {cs: 0 for cs, _, _ in order}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                seg_i += 1
+                if seg_i >= len(segs):
+                    raise ValueError("JPEG missing restart segment")
+                reader = _BitReader(segs[seg_i])
+                pred = {cs: 0 for cs, _, _ in order}
+            for cs, td, ta in order:
+                _cid, hc, vc, _tq = by_id[cs]
+                dc_map = huff.get((0, td))
+                ac_map = huff.get((1, ta))
+                if dc_map is None or ac_map is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                for by in range(vc):
+                    for bx in range(hc):
+                        zz = coef[cs][my * vc + by, mx * hc + bx]
+                        size = _decode_huff(reader, dc_map)
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[cs] += diff
+                        zz[0] = pred[cs]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, ac_map)
+                            if sym == 0x00:      # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0x0F
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError("bad JPEG AC symbol")
+                                k += 16          # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+            mcu_idx += 1
+
+    # vectorized dequant + IDCT + upsample per component
+    planes = {}
+    for cs, _td, _ta in order:
+        _cid, hc, vc, tq = by_id[cs]
+        if tq not in qtabs:
+            raise ValueError("JPEG scan references missing DQT")
+        q = qtabs[tq].reshape(64)[ZIGZAG]        # zigzag-ordered table
+        dequant = (coef[cs] * q)[..., UNZIGZAG].reshape(
+            *coef[cs].shape[:2], 8, 8).astype(np.float64)
+        spatial = np.einsum("ji,yxjk,kl->yxil", _D8, dequant, _D8)
+        by_, bx_ = spatial.shape[:2]
+        plane = spatial.swapaxes(1, 2).reshape(by_ * 8, bx_ * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, max_v // vc, axis=0),
+                          max_h // hc, axis=1)
+        planes[cs] = plane[:fh, :fw]
+
+    if len(order) == 1:
+        g = np.clip(np.round(planes[order[0][0]]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(order) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(order)}")
+    y = planes[order[0][0]]
+    cb = planes[order[1][0]] - 128.0
+    cr = planes[order[2][0]] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -8,15 +8,16 @@ Codec surface:
     (functions/png.py, RFC 2083): the synthetic flagship corpus is
     genuine PNG bytes, and any 8-bit non-interlaced PNG decodes here
     with no image library;
+  * REAL baseline JPEG decode/encode — from-scratch NumPy DCT +
+    Huffman codec (functions/jpeg.py, ITU-T T.81): the PSNR fidelity
+    invariant (>= 40 dB, BASELINE.json input_hint) is exercised
+    against a genuine lossy DCT codec;
   * the engine's own deterministic "dspk" container, kept for
     plumbing tests and as the raw fast path:
         b"DSP0" | w:uint32le | h:uint32le | raw RGB uint8   (lossless)
         b"DSP1" | w:uint32le | h:uint32le | quantized RGB   (lossy, q=2)
-  * JPEG remains honestly STUBBED (PIL import-try) — a DCT+Huffman
-    decoder is out of scope for this container; the deterministic
-    quantize-then-PNG re-encode stands in for a lossy codec (max abs
-    error 1 -> PSNR ~48 dB, above the 40 dB reference invariant from
-    BASELINE.json input_hint).
+  * other formats (GIF/TIFF/WebP) remain behind a PIL import-try —
+    absent in this container.
 
 phash: the standard public DCT perceptual-hash algorithm — grayscale,
 block-mean resize to 32x32, 2-D DCT-II, top-left 8x8 low-frequency
@@ -61,7 +62,11 @@ def decode_image(buf: bytes) -> np.ndarray:
         from deduper_spark.functions.png import decode_png
 
         return decode_png(bytes(buf))
-    # STUB: JPEG/other codecs need an image library absent here.
+    if bytes(buf[:2]) == b"\xff\xd8":
+        from deduper_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(buf))
+    # other formats (GIF/TIFF/WebP...) need an image library absent here
     try:
         import io
 
@@ -70,8 +75,9 @@ def decode_image(buf: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(buf)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "JPEG decode requires PIL/pillow (not in this container); "
-            "PNG and the deterministic 'dspk' container decode natively"
+            "non-PNG/JPEG/dspk decode requires PIL/pillow (not in this "
+            "container); PNG, baseline JPEG, and the deterministic "
+            "'dspk' container decode natively"
         ) from exc
 
 

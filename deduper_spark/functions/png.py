@@ -13,10 +13,10 @@ Supported:
     deterministic output for a given input (fixed zlib level), which
     the synth corpus requires (bytes are a pure function of (seed,i)).
 
-JPEG remains honestly stubbed (a DCT+Huffman decoder is out of scope);
-the engine's deterministic quantize-then-PNG re-encode stands in for a
-lossy codec (max abs error q/2 -> PSNR ~48 dB at q=2, above the 40 dB
-reference invariant).
+Baseline JPEG has its own real codec (functions/jpeg.py, DCT +
+Huffman); the deterministic quantize-then-PNG re-encode remains the
+default lossy role in the bench corpus because its decode path is
+fully vectorized.
 """
 
 from __future__ import annotations

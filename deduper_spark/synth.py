@@ -95,20 +95,29 @@ def _caption_tokens(seed: int, base_i: int) -> list[str]:
     return [_VOCAB[j] for j in idx]
 
 
-def make_row(seed: int, i: int) -> dict:
+def make_row(seed: int, i: int, lossy_fmt: str = "png") -> dict:
     base_i, klass = _base_index(i)
     pixels = _pixels(seed, base_i)
     tokens = _caption_tokens(seed, base_i)
 
-    # every blob is a REAL PNG (functions/png.py — stdlib zlib codec);
-    # the lossy re-encode is a deterministic quantization (q=2, max abs
-    # error 1 -> PSNR ~48 dB >= the 40 dB reference invariant) inside a
-    # fresh PNG container — a real lossy transform in a real format
+    # every blob is a REAL codec output; role 7's lossy re-encode is
+    # either a deterministic quantization (q=2, max abs error 1 ->
+    # PSNR ~48 dB >= the 40 dB reference invariant) inside a fresh PNG
+    # container (default — the vectorized bench path), or, with
+    # ``lossy_fmt="jpeg"``, a REAL baseline JPEG at quality 95
+    # (functions/jpeg.py — 8x8 DCT + quant + Huffman): the fidelity
+    # audit then runs against a genuine lossy DCT codec
     if klass == "reencode":
-        quant = ((pixels.astype(np.uint16) + 1) // 2 * 2)
-        quant = np.clip(quant, 0, 255).astype(np.uint8)
-        buf = encode_png(quant)
-        fmt = "png"
+        if lossy_fmt == "jpeg":
+            from deduper_spark.functions.jpeg import encode_jpeg
+
+            buf = encode_jpeg(pixels, quality=95)
+            fmt = "jpg"
+        else:
+            quant = ((pixels.astype(np.uint16) + 1) // 2 * 2)
+            quant = np.clip(quant, 0, 255).astype(np.uint8)
+            buf = encode_png(quant)
+            fmt = "png"
         ph = phash64(decode_image(buf))
         caption = " ".join(tokens)
     elif klass == "caption_near":
@@ -141,8 +150,9 @@ def make_row(seed: int, i: int) -> dict:
     }
 
 
-def make_pdf(seed: int, n: int, start: int = 0) -> pd.DataFrame:
-    rows = [make_row(seed, i) for i in range(start, start + n)]
+def make_pdf(seed: int, n: int, start: int = 0,
+             lossy_fmt: str = "png") -> pd.DataFrame:
+    rows = [make_row(seed, i, lossy_fmt) for i in range(start, start + n)]
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")
@@ -156,7 +166,8 @@ SPARK_SCHEMA = (
 )
 
 
-def make_df(spark, seed: int, n: int, partitions: int | None = None):
+def make_df(spark, seed: int, n: int, partitions: int | None = None,
+            lossy_fmt: str = "png"):
     """Distributed generation: spark.range → mapInPandas(make_row).
 
     This is how the bench input is produced — the generator itself
@@ -168,7 +179,8 @@ def make_df(spark, seed: int, n: int, partitions: int | None = None):
         for pdf in batches:
             for lo in range(0, len(pdf), 2000):
                 ids = pdf["id"].iloc[lo : lo + 2000]
-                yield pd.DataFrame([make_row(seed, int(i)) for i in ids])
+                yield pd.DataFrame(
+                    [make_row(seed, int(i), lossy_fmt) for i in ids])
 
     return (
         spark.range(0, n, numPartitions=parts)
