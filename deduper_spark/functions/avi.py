@@ -1,0 +1,160 @@
+"""Real AVI (RIFF) container codec for Motion-JPEG video — stdlib
+struct only, frames encoded/decoded by the engine's own baseline JPEG
+codec (functions/jpeg.py, ITU-T T.81).
+
+Spec: the Microsoft AVI RIFF form — ``RIFF('AVI ' LIST('hdrl' avih,
+LIST('strl' strh strf)) LIST('movi' '00dc'...) idx1)``. The writer
+emits a standards-conforming MJPG stream any mainstream player
+(ffmpeg/VLC) accepts; the reader walks the RIFF tree, tolerates
+unknown chunks, and decodes ``..dc``/``..db`` frame chunks with
+decode_jpeg. This closes the last stubbed multimodal codec: video
+frame-sampling (operators/multimodal.py:sample_video_frames) now runs
+against a genuine multi-frame container.
+
+Reference parity note: the reference engine (bmiller1009/deduper) has
+no video path; this exists for the training-data mandate's multimodal
+columns. Malformed input raises ValueError so mapInPandas isolation
+tags decode_ok=false instead of killing the job.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _chunk(cid: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return cid + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
+                     quality: int = 95) -> bytes:
+    """[(h, w, 3) uint8, ...] → AVI/MJPG bytes. Deterministic: fixed
+    chunk layout, frames through the deterministic JPEG encoder."""
+    from deduper_spark.functions.jpeg import encode_jpeg
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all frames must share one (h, w, 3) shape")
+    jpegs = [encode_jpeg(f, quality=quality) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,            # dwMicroSecPerFrame
+        max_sz * fps,                # dwMaxBytesPerSec
+        0,                           # dwPaddingGranularity
+        _AVIF_HASINDEX,              # dwFlags
+        len(jpegs),                  # dwTotalFrames
+        0,                           # dwInitialFrames
+        1,                           # dwStreams
+        max_sz,                      # dwSuggestedBufferSize
+        w, h,                        # dwWidth, dwHeight
+        0, 0, 0, 0,                  # dwReserved[4]
+    )
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII4h",
+                          0,          # dwFlags
+                          0, 0,       # wPriority, wLanguage
+                          0,          # dwInitialFrames
+                          1, fps,     # dwScale, dwRate -> fps
+                          0,          # dwStart
+                          len(jpegs),  # dwLength (frames)
+                          max_sz,     # dwSuggestedBufferSize
+                          10_000,     # dwQuality
+                          0,          # dwSampleSize
+                          0, 0, w, h))  # rcFrame
+    strf = struct.pack("<IiiHH4sIiiII",
+                       40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(b"hdrl",
+                 _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
+
+    movi_payload = b"".join(_chunk(b"00dc", j) for j in jpegs)
+    movi = _list(b"movi", movi_payload)
+
+    idx, off = b"", 4                # offsets relative to 'movi' fourcc
+    for j in jpegs:
+        idx += b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, len(j))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = _chunk(b"idx1", idx)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:
+    """AVI bytes → ([(h, w, 3) uint8 frames], fps). Walks the RIFF
+    tree; only the 'movi' LIST and 'avih' header are required, any
+    other chunk is skipped (players add INFO/JUNK freely)."""
+    from deduper_spark.functions.jpeg import decode_jpeg
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal fps
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)          # skip the list kind
+            elif cid == b"avih" and size >= 4:
+                (uspf,) = struct.unpack("<I", buf[body_lo:body_lo + 4])
+                fps = round(1_000_000 / uspf) if uspf else 0
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(decode_jpeg(buf[body_lo:body_hi]))
+            pos = body_hi + (size % 2)
+
+    end = 8 + struct.unpack("<I", buf[4:8])[0]
+    if end > len(buf):
+        raise ValueError("truncated AVI stream")
+    walk(12, end)
+    if not frames:
+        raise ValueError("AVI stream contains no video frames")
+    return frames, fps
+
+
+def iter_avi_frame_bytes(buf: bytes):
+    """Yield (frame_idx, jpeg_bytes) WITHOUT decoding — the zero-
+    transcode path for frame sampling: sampled frames ship as the
+    contained JPEG chunks untouched."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    hi_all = 8 + struct.unpack("<I", buf[4:8])[0]
+    if hi_all > len(buf):
+        raise ValueError("truncated AVI stream")
+    idx = 0
+    stack = [(12, hi_all)]
+    while stack:
+        lo, hi = stack.pop(0)
+        pos = lo
+        while pos + 8 <= hi:
+            cid = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                stack.append((body_lo + 4, body_hi))
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                yield idx, buf[body_lo:body_hi]
+                idx += 1
+            pos = body_hi + (size % 2)

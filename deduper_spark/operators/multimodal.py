@@ -2,14 +2,16 @@
 columns with typed metadata.
 
 The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
-signatures, partitioning) is real and tested; the codec layer is the
-engine's deterministic 'dspk' container (functions/phash.py). Real
-PNG/JPEG/audio/video decode requires libraries absent from this
-container and is STUBBED: decode_image raises NotImplementedError for
-foreign magics, and extract_features tags such rows decode_ok=false
-instead of failing the job (poisoned blobs must never kill a 100 TB
-pass — same isolation philosophy as the reference's log-only sink
-reconciliation, consumers/BaseConsumer.kt:106-117).
+signatures, partitioning) is real and tested. The codec layer is now
+REAL for PNG (functions/png.py), baseline JPEG (functions/jpeg.py),
+PCM WAV audio (functions/wav.py) and the engine's deterministic 'dspk'
+container (functions/phash.py); genuinely foreign magics (GIF/TIFF/
+WebP, compressed audio, real video codecs) need libraries absent from
+this container and stay STUBBED behind an import-try. Either way,
+undecodable rows surface as decode_ok=false instead of failing the job
+(poisoned blobs must never kill a 100 TB pass — same isolation
+philosophy as the reference's log-only sink reconciliation,
+consumers/BaseConsumer.kt:106-117).
 """
 
 from __future__ import annotations
@@ -84,24 +86,35 @@ def resize_images(df: DataFrame, id_col: str, bytes_col: str,
 
 def sample_video_frames(df: DataFrame, id_col: str, bytes_col: str,
                         every_n: int = 10) -> DataFrame:
-    """Frame sampling for video blobs.
+    """Frame sampling for video blobs: explode one blob row into frame
+    rows (frame_idx 0, every_n, 2*every_n, ...), preserving input
+    partitioning (mapInPandas — no shuffle).
 
-    STUB: no video codec exists in this container. The operator's
-    Spark contract (explode one blob row into frame rows with
-    frame_idx, preserving partitioning) is exercised by treating the
-    dspk container as a 1-frame video; real containers raise in the
-    codec layer and surface as decode_ok=false rows.
+    REAL for MJPEG-in-AVI (functions/avi.py): the container index is
+    walked without transcoding and sampled frames ship as the embedded
+    JPEG chunks untouched (zero re-encode — at 100 TB the sampler is
+    I/O-bound, so the decode stays out of the hot path entirely).
+    Single-image containers (dspk/PNG/JPEG) are treated as 1-frame
+    videos; genuinely foreign codecs (MP4/H.264...) need libraries
+    absent from this container and surface as decode_ok=false rows.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.avi import iter_avi_frame_bytes
         from deduper_spark.functions.phash import decode_image, encode_image
 
         for pdf in batches:
             rows = []
             for rid, buf in zip(pdf["id"], pdf["b"]):
+                raw = bytes(buf)
                 try:
-                    px = decode_image(bytes(buf))   # 1-frame 'video'
-                    rows.append((rid, 0, encode_image(px), True))
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        for idx, jpg in iter_avi_frame_bytes(raw):
+                            if idx % every_n == 0:
+                                rows.append((rid, idx, jpg, True))
+                    else:
+                        px = decode_image(raw)      # 1-frame 'video'
+                        rows.append((rid, 0, encode_image(px), True))
                 except (NotImplementedError, ValueError):
                     rows.append((rid, None, None, False))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes",
@@ -111,3 +124,113 @@ def sample_video_frames(df: DataFrame, id_col: str, bytes_col: str,
     return sel.mapInPandas(
         run, schema="id string, frame_idx int, frame_bytes binary, decode_ok boolean"
     )
+
+
+def video_frame_phashes(df: DataFrame, id_col: str, bytes_col: str,
+                        every_n: int = 5) -> DataFrame:
+    """Per-sampled-frame perceptual hashes — the video analogue of
+    extract_image_features: sample frames (zero-transcode), decode only
+    the sampled ones, emit (id, frame_idx, phash). Feeding the phash
+    column into int64_band_buckets/hamming_candidate_pairs gives
+    near-dup VIDEO detection (two videos match when sampled frames
+    collide), the same machinery as images/simhash/audio."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.avi import iter_avi_frame_bytes
+        from deduper_spark.functions.jpeg import decode_jpeg
+        from deduper_spark.functions.phash import decode_image, phash64
+
+        for pdf in batches:
+            rows = []
+            for rid, buf in zip(pdf["id"], pdf["b"]):
+                raw = bytes(buf)
+                try:
+                    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                        for idx, jpg in iter_avi_frame_bytes(raw):
+                            if idx % every_n == 0:
+                                rows.append((rid, idx, True,
+                                             phash64(decode_jpeg(jpg))))
+                    else:
+                        rows.append((rid, 0, True, phash64(decode_image(raw))))
+                except (NotImplementedError, ValueError):
+                    rows.append((rid, None, False, None))
+            yield pd.DataFrame(rows, columns=["id", "frame_idx",
+                                              "decode_ok", "phash"])
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("b"))
+    return sel.mapInPandas(
+        run, schema="id string, frame_idx int, decode_ok boolean, phash long"
+    )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "id string, decode_ok boolean, sr int, channels int, n_samples long, "
+    "duration_s double, rms double, zcr double, spectral_centroid double, "
+    "afp long"
+)
+
+
+def extract_audio_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFrame:
+    """Audio decode + feature extraction via mapInPandas (Arrow
+    batches): real RIFF/PCM WAV decode (functions/wav.py), scalar
+    features (rms/zcr/spectral centroid) and a 64-bit energy-delta
+    fingerprint (Haitsma-Kalker) that feeds the engine's Hamming-LSH
+    candidate path. Undecodable blobs → decode_ok=false rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.wav import (
+            audio_features,
+            audio_fingerprint64,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = []
+            for rid, buf in zip(pdf["id"], pdf["b"]):
+                try:
+                    samples, sr = decode_wav(bytes(buf))
+                    feats = audio_features(samples, sr)
+                    out.append((rid, True, sr, samples.shape[1],
+                                samples.shape[0], samples.shape[0] / sr,
+                                feats["rms"], feats["zcr"],
+                                feats["spectral_centroid"],
+                                audio_fingerprint64(samples)))
+                except (NotImplementedError, ValueError):
+                    out.append((rid, False, None, None, None, None,
+                                None, None, None, None))
+            yield pd.DataFrame(out, columns=["id", "decode_ok", "sr",
+                                             "channels", "n_samples",
+                                             "duration_s", "rms", "zcr",
+                                             "spectral_centroid", "afp"])
+
+    sel = df.select(F.col(id_col).alias("id"), F.col(bytes_col).alias("b"))
+    return sel.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+def audio_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 4,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Audio near-dup pairs over the energy-delta fingerprint, reusing
+    the image/simhash Hamming machinery end-to-end: band the int64
+    fingerprint into LSH buckets (pigeonhole recall guarantee for
+    Hamming <= 64/band_bits - 1 >= max_hamming), then the co-located
+    self-join with the INLINE bit_count predicate — no features join,
+    no candidate flood (operators/lsh.py:hamming_candidate_pairs).
+    Fingerprints are gain-invariant, so re-mastered/volume-normalized
+    copies land at Hamming ~0. Returns (id_l, id_r) canonical pairs."""
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+
+    feats = extract_audio_features(df, id_col, bytes_col).where("decode_ok")
+    buckets = int64_band_buckets(
+        feats, "id", "afp", band_bits=band_bits, family="afp",
+        max_hamming=max_hamming,
+    )
+    pairs, _dropped = hamming_candidate_pairs(buckets)
+    return pairs.select("id_l", "id_r")

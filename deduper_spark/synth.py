@@ -210,3 +210,182 @@ def expected_dup_pairs(seed: int, n: int) -> set[tuple[str, str]]:
             for b in range(a + 1, len(ids)):
                 pairs.add((ids[a], ids[b]))
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic AUDIO corpus (multimodal mandate — audio
+# columns). Same design as the image corpus: every field is a pure
+# function of (seed, i), planted duplicate roles per block of 10:
+#     role 0-5: distinct base clips
+#     role 6:   EXACT dup of role 0 (byte-identical WAV)
+#     role 7:   GAIN re-encode of role 1 (x0.6 amplitude — same
+#               energy-delta fingerprint, near-dup class)
+# Block-level params are index-derivable (the driver oracle's planted
+# truth): sample_rate = 8000 + 4000*(block%3), channels = 1+(block%2),
+# n_samples = sample_rate (exactly 1 s).
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "audio_id string, bytes binary, sr int, channels int, "
+    "n_samples int, fmt string"
+)
+
+
+def _audio_base_index(i: int) -> tuple[int, str]:
+    b, r = divmod(i, BLOCK)
+    if r == 6:
+        return b * BLOCK + 0, "exact"
+    if r == 7:
+        return b * BLOCK + 1, "gain"
+    return i, "base"
+
+
+def _audio_wave(seed: int, base_i: int, sr: int, ch: int) -> np.ndarray:
+    """float64 (sr, ch) in [-1, 1]: 3 random tones under a strongly
+    varying 65-segment amplitude envelope. The envelope guarantees
+    adjacent fingerprint-frame energies differ by far more than int16
+    quantization noise, so the energy-delta signs (functions/wav.py
+    audio_fingerprint64) survive gain re-encoding bit-exactly."""
+    rng = _rng(seed, base_i, 7)
+    n = sr
+    t = np.arange(n) / sr
+    freqs = rng.uniform(100.0, sr / 2.0 - 200.0, size=3)
+    amps = rng.uniform(0.1, 0.3, size=3)
+    wave = sum(a * np.sin(2 * np.pi * f * t) for a, f in zip(amps, freqs))
+    env = rng.uniform(0.15, 1.0, size=65)
+    frame = n // 65
+    env_samples = np.repeat(env, frame)
+    env_samples = np.pad(env_samples, (0, n - env_samples.shape[0]),
+                         mode="edge")
+    wave = wave * env_samples
+    wave = wave / np.abs(wave).max()
+    if ch == 1:
+        return wave[:, None]
+    right = np.roll(wave, sr // 100) * 0.9       # 10 ms delayed echo ch.
+    return np.stack([wave, right], axis=1)
+
+
+def make_audio_row(seed: int, i: int) -> dict:
+    from deduper_spark.functions.wav import encode_wav
+
+    b = i // BLOCK
+    sr = 8000 + 4000 * (b % 3)
+    ch = 1 + (b % 2)
+    base_i, klass = _audio_base_index(i)
+    wave = _audio_wave(seed, base_i, sr, ch)
+    gain = 0.6 if klass == "gain" else 1.0
+    pcm = np.clip(wave * gain * 32000.0, -32768, 32767).astype(np.int16)
+    return {
+        "audio_id": f"aud{i:09d}",
+        "bytes": encode_wav(pcm, sr),
+        "sr": sr,
+        "channels": ch,
+        "n_samples": sr,
+        "fmt": "wav",
+    }
+
+
+def make_audio_pdf(seed: int, n: int, start: int = 0) -> pd.DataFrame:
+    df = pd.DataFrame([make_audio_row(seed, i) for i in range(start, start + n)])
+    for c in ("sr", "channels", "n_samples"):
+        df[c] = df[c].astype("int32")
+    return df
+
+
+def make_audio_df(spark, seed: int, n: int, partitions: int | None = None):
+    """Distributed audio-corpus generation (same pattern as make_df)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 500):
+                ids = pdf["id"].iloc[lo : lo + 500]
+                yield pd.DataFrame(
+                    [make_audio_row(seed, int(i)) for i in ids])
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema=AUDIO_SCHEMA)
+    )
+
+
+def expected_audio_pairs(n: int) -> set[tuple[str, str]]:
+    """Planted audio dup pairs (id_l < id_r): role 6↔0 (exact) and
+    role 7↔1 (gain) per complete block."""
+    pairs: set[tuple[str, str]] = set()
+    for i in range(n):
+        base_i, klass = _audio_base_index(i)
+        if klass != "base" and base_i < n:
+            pairs.add((f"aud{base_i:09d}", f"aud{i:09d}"))
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic VIDEO corpus (multimodal mandate — video
+# columns). Real MJPEG-in-AVI blobs (functions/avi.py over the T.81
+# JPEG codec). Pure function of (seed, i); per block of 10:
+#     role 0-5: distinct base clips
+#     role 6:   EXACT dup of role 0 (byte-identical AVI)
+# Block-level params are index-derivable (driver-oracle planted truth):
+# n_frames = 6 + 2*(block%3), fps = 10, frames are the base image
+# rolled 4 px per frame (motion), so every sampled frame decodes.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "video_id string, bytes binary, n_frames int, fps int, w int, h int, "
+    "fmt string"
+)
+
+
+def _video_base_index(i: int) -> tuple[int, str]:
+    b, r = divmod(i, BLOCK)
+    if r == 6:
+        return b * BLOCK + 0, "exact"
+    return i, "base"
+
+
+def video_frame_count(i: int) -> int:
+    return 6 + 2 * ((i // BLOCK) % 3)
+
+
+def make_video_row(seed: int, i: int) -> dict:
+    from deduper_spark.functions.avi import encode_avi_mjpeg
+
+    base_i, _klass = _video_base_index(i)
+    n_frames = video_frame_count(i)
+    pixels = _pixels(seed, base_i)
+    frames = [np.roll(pixels, 4 * k, axis=1) for k in range(n_frames)]
+    buf = encode_avi_mjpeg(frames, fps=10)
+    return {
+        "video_id": f"vid{i:09d}",
+        "bytes": buf,
+        "n_frames": n_frames,
+        "fps": 10,
+        "w": IMG,
+        "h": IMG,
+        "fmt": "avi",
+    }
+
+
+def make_video_pdf(seed: int, n: int, start: int = 0) -> pd.DataFrame:
+    df = pd.DataFrame([make_video_row(seed, i) for i in range(start, start + n)])
+    for c in ("n_frames", "fps", "w", "h"):
+        df[c] = df[c].astype("int32")
+    return df
+
+
+def make_video_df(spark, seed: int, n: int, partitions: int | None = None):
+    """Distributed video-corpus generation (same pattern as make_df)."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 200):
+                ids = pdf["id"].iloc[lo : lo + 200]
+                yield pd.DataFrame(
+                    [make_video_row(seed, int(i)) for i in ids])
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema=VIDEO_SCHEMA)
+    )

@@ -120,10 +120,13 @@ def test_phash_invariance_and_separation():
 
 
 def test_decode_unknown_format_raises():
-    # JPEG (and any unknown magic) stays stubbed behind the PIL try
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # PNG and JPEG now decode NATIVELY; garbage after either signature
+    # is a ValueError (the multimodal isolation path catches it)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0xxxxxxxxxxxx")
-    # PNG now decodes NATIVELY; garbage after a PNG signature is a
-    # ValueError (the multimodal isolation path catches it)
     with pytest.raises(ValueError):
         decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx")
+    # genuinely foreign magics (GIF/TIFF/WebP...) stay stubbed behind
+    # the PIL try
+    with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89axxxxxxxxxxxx")
