@@ -517,6 +517,68 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal AUDIO decode + feature extraction over REAL RIFF/PCM
+    WAV blobs (functions/wav.py — no audio library), oracled by
+    planted truth: the synth audio corpus is a pure function of
+    (seed, i) with block-level params sr = 8000 + 4000*(block%3),
+    channels = 1 + block%2, n_samples = sr (deduper_spark/synth.py).
+    5 poisoned blobs exercise decode isolation. The compared
+    projection is the index-derivable part; rms/zcr/centroid/afp are
+    covered by unit tests (test_multimodal_av.py)."""
+    from deduper_spark.operators.multimodal import extract_audio_features
+    from deduper_spark.synth import make_audio_df
+
+    df = make_audio_df(spark, seed=42, n=60).select("audio_id", "bytes")
+    poison = spark.range(5).select(
+        F.concat(F.lit("bad"), F.lpad(F.col("id").cast("string"), 9, "0")
+                 ).alias("audio_id"),
+        F.lit(bytearray(b"RIFF not a wav stream")).alias("bytes"),
+    )
+    feats = extract_audio_features(df.unionByName(poison),
+                                   "audio_id", "bytes")
+    return feats.select("id", "decode_ok", "sr", "channels", "n_samples")
+
+
+def q_audio_dedup(spark, sf_dir):
+    """Audio near-dup pairs via the gain-invariant energy-delta
+    fingerprint through the SAME inline-Hamming LSH path as
+    simhash/phash. Planted truth (index-derivable): per block of 10,
+    role 6 is a byte-exact dup of role 0 and role 7 a gain-0.6
+    re-master of role 1 — both at fingerprint Hamming 0; distinct
+    clips sit >10 bits apart (measured floor 19 at this corpus size,
+    test_audio_fingerprint_gain_and_noise_invariance)."""
+    from deduper_spark.operators.multimodal import audio_dedup_pairs
+    from deduper_spark.synth import make_audio_df
+
+    df = make_audio_df(spark, seed=42, n=120)
+    pairs = audio_dedup_pairs(df)
+    return pairs.select(
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+    )
+
+
+def q_video_frames(spark, sf_dir):
+    """Video frame sampling over REAL MJPEG-in-AVI containers
+    (functions/avi.py over the native T.81 JPEG codec), zero-transcode:
+    sampled rows carry the embedded JPEG chunk bytes untouched.
+    Planted truth: n_frames = 6 + 2*(block%3) per (seed, i)-pure synth
+    clip, so the sampled (id, frame_idx) set is index-derivable; one
+    poisoned blob exercises isolation. Frame CONTENT (bytes/phash) is
+    covered by unit tests (zero-transcode equality, dup detection)."""
+    from deduper_spark.operators.multimodal import sample_video_frames
+    from deduper_spark.synth import make_video_df
+
+    df = make_video_df(spark, seed=42, n=40).select("video_id", "bytes")
+    poison = spark.createDataFrame(
+        [("bad000000000", bytearray(b"RIFF\x00\x01\x02\x03AVI junk"))],
+        "video_id string, bytes binary")
+    out = sample_video_frames(df.unionByName(poison),
+                              "video_id", "bytes", every_n=3)
+    return out.select("id", "frame_idx", "decode_ok")
+
+
 def q_event_debounce(spark, sf_dir):
     """Near-time duplicate suppression: drop an event when the same
     user's previous event is < 4 h older (lag predicate, integer
@@ -557,6 +619,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "event_sessions": q_event_sessions,
         "event_debounce": q_event_debounce,
+        "audio_features": q_audio_features,
+        "audio_dedup": q_audio_dedup,
+        "video_frames": q_video_frames,
         # oracled via exact sketch contracts / planted truth (see the
         # per-query docstrings): hamming-0 simhash == token-multiset
         # equality; image features == index-derivable (decode_ok, w, h)
@@ -889,6 +954,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'bad' || lpad(i::VARCHAR, 9, '0') AS id,
                    false AS decode_ok, NULL::INTEGER AS w, NULL::INTEGER AS h
             FROM (SELECT unnest(range(10)) AS i)
+        """,
+        "audio_features": """
+            -- planted truth: synth audio is a pure function of
+            -- (seed,i); block-level params are index-derivable
+            -- (deduper_spark/synth.py make_audio_row)
+            SELECT 'aud' || lpad(i::VARCHAR, 9, '0') AS id,
+                   true AS decode_ok,
+                   (8000 + 4000 * ((i // 10) % 3))::INTEGER AS sr,
+                   (1 + (i // 10) % 2)::INTEGER AS channels,
+                   (8000 + 4000 * ((i // 10) % 3))::BIGINT AS n_samples
+            FROM (SELECT unnest(range(60)) AS i)
+            UNION ALL
+            SELECT 'bad' || lpad(i::VARCHAR, 9, '0') AS id,
+                   false AS decode_ok, NULL::INTEGER AS sr,
+                   NULL::INTEGER AS channels, NULL::BIGINT AS n_samples
+            FROM (SELECT unnest(range(5)) AS i)
+        """,
+        "audio_dedup": """
+            -- planted truth: per block of 10, role 6 duplicates role 0
+            -- and role 7 (gain re-master) duplicates role 1 — in both
+            -- cases the base index is i-6 (synth._audio_base_index)
+            SELECT 'aud' || lpad((i - 6)::VARCHAR, 9, '0') AS id_l,
+                   'aud' || lpad(i::VARCHAR, 9, '0') AS id_r
+            FROM (SELECT unnest(range(120)) AS i)
+            WHERE i % 10 IN (6, 7)
+        """,
+        "video_frames": """
+            -- planted truth: n_frames = 6 + 2*(block%3) per clip
+            -- (synth.video_frame_count), sampled every 3rd frame; the
+            -- poisoned blob yields one decode_ok=false row
+            SELECT 'vid' || lpad(i::VARCHAR, 9, '0') AS id,
+                   f::INTEGER AS frame_idx, true AS decode_ok
+            FROM (SELECT unnest(range(40)) AS i) a
+            CROSS JOIN (SELECT unnest(range(0, 12, 3)) AS f) b
+            WHERE f < 6 + 2 * ((i // 10) % 3)
+            UNION ALL
+            SELECT 'bad000000000' AS id, NULL::INTEGER AS frame_idx,
+                   false AS decode_ok
         """,
         "ann_topk": """
             WITH n AS (
