@@ -1,0 +1,67 @@
+"""EXECUTED spark-submit --py-files deployment path (north rule: 'run
+via spark-submit --py-files on a multi-executor cluster').
+
+The test packages deduper_spark into a zip exactly as a cluster deploy
+would, then launches a real `spark-submit --master local[2]
+--py-files deduper_spark.zip tools/submit_dedup.py` SUBPROCESS with
+cwd OUTSIDE the repo — so the package import genuinely resolves from
+the shipped zip, not the working directory — and checks the pipeline's
+planted-truth cluster counts from the emitted JSON line. This is the
+same launch command BENCH/BASELINE.md's two-parallelism scaling
+sessions use; here it runs small (n=120) to stay in unit-test budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pyspark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_zip(path: str) -> None:
+    pkg = os.path.join(REPO, "deduper_spark")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+
+def test_spark_submit_py_files_end_to_end(tmp_path):
+    zip_path = str(tmp_path / "deduper_spark.zip")
+    _build_zip(zip_path)
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path,
+         os.path.join(REPO, "tools", "submit_dedup.py"),
+         "--synth", "120", "--run-id", "submit_smoke"],
+        cwd=str(tmp_path),                 # NOT the repo — zip must serve
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{") and '"report"' in ln][-1]
+    out = json.loads(line)
+    rep = out["report"]
+    assert rep["success"] is True
+    assert rep["record_count"] == 120
+    # planted truth: 4 dup roles per block of 10 → 48 non-survivors
+    from deduper_spark.synth import expected_clusters
+
+    exp = expected_clusters(42, 120)
+    assert rep["dupe_count"] == 120 - exp["cluster_id"].nunique()
+    assert out["stages"], "per-stage metrics must be emitted"
