@@ -132,6 +132,22 @@ def main() -> None:
         spark, "image_dedup_pipeline")
     df.unpersist()
 
+    # ---- audio near-dup over real WAV blobs (gain-invariant
+    # fingerprint through the same inline-Hamming LSH path) -------------
+    from deduper_spark.operators.multimodal import audio_dedup_pairs
+    from deduper_spark.synth import make_audio_df
+
+    n_audio = max(500, int(sf * 20_000))
+    adf = make_audio_df(spark, seed=42, n=n_audio).persist()
+    adf.count()  # synth outside the timed window (decode IS timed)
+    spark.sparkContext.setJobGroup("audio_dedup", "audio_dedup")
+    t0 = time.time()
+    _force(audio_dedup_pairs(adf))
+    audio_sec = round(time.time() - t0, 3)
+    timings["audio_dedup"] = audio_sec
+    stage_counts["audio_dedup"] = _stage_count(spark, "audio_dedup")
+    adf.unpersist()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -141,6 +157,8 @@ def main() -> None:
         "sf": sf,
         "images": n_images,
         "images_per_sec": round(n_images / image_sec, 1),
+        "audio_clips": n_audio,
+        "audio_clips_per_sec": round(n_audio / audio_sec, 1),
         "cpus": cpus,
         "aqe": not no_aqe,
         "stages": stage_counts,
