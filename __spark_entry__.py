@@ -579,6 +579,20 @@ def q_video_frames(spark, sf_dir):
     return out.select("id", "frame_idx", "decode_ok")
 
 
+def q_video_dedup(spark, sf_dir):
+    """Video near-dup pairs: per-frame phashes banded with the frame
+    position in the bucket family, inline-Hamming self-join, pair
+    passes when >=80% of co-sampled positions match. Planted truth
+    (index-derivable): per block of 10 clips, role 6 is a byte-exact
+    dup of role 0; a real lower-quality re-encode case is covered by
+    test_video_dedup_pairs_planted_and_reencoded."""
+    from deduper_spark.operators.multimodal import video_dedup_pairs
+    from deduper_spark.synth import make_video_df
+
+    df = make_video_df(spark, seed=42, n=40)
+    return video_dedup_pairs(df, every_n=2).select("id_l", "id_r")
+
+
 def q_event_debounce(spark, sf_dir):
     """Near-time duplicate suppression: drop an event when the same
     user's previous event is < 4 h older (lag predicate, integer
@@ -622,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "audio_dedup": q_audio_dedup,
         "video_frames": q_video_frames,
+        "video_dedup": q_video_dedup,
         # oracled via exact sketch contracts / planted truth (see the
         # per-query docstrings): hamming-0 simhash == token-multiset
         # equality; image features == index-derivable (decode_ok, w, h)
@@ -979,6 +994,16 @@ def oracle_sql() -> dict[str, str]:
                    'aud' || lpad(i::VARCHAR, 9, '0') AS id_r
             FROM (SELECT unnest(range(120)) AS i)
             WHERE i % 10 IN (6, 7)
+        """,
+        "video_dedup": """
+            -- planted truth: per block of 10 clips, role 6 is a
+            -- byte-exact dup of role 0 (synth._video_base_index);
+            -- distinct clips use distinct random base images, so no
+            -- other pair reaches the 80% frame-match threshold
+            SELECT 'vid' || lpad((i - 6)::VARCHAR, 9, '0') AS id_l,
+                   'vid' || lpad(i::VARCHAR, 9, '0') AS id_r
+            FROM (SELECT unnest(range(40)) AS i)
+            WHERE i % 10 = 6
         """,
         "video_frames": """
             -- planted truth: n_frames = 6 + 2*(block%3) per clip

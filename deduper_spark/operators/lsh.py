@@ -86,7 +86,8 @@ def array_band_buckets(df: DataFrame, id_col: str, buckets_col: str,
 
 
 def int64_band_buckets(
-    df: DataFrame, id_col: str, bits_col: str, band_bits: int, family: str,
+    df: DataFrame, id_col: str, bits_col: str, band_bits: int,
+    family: str | Column,
     max_hamming: int | None = None,
 ) -> DataFrame:
     """Band a 64-bit fingerprint (phash / simhash) into 64/band_bits
@@ -114,13 +115,17 @@ def int64_band_buckets(
             for b in range(n_bands)
         ]
     )
+    # family may be a per-row Column (e.g. "vf:<frame_idx>" for
+    # per-frame video matching, where the frame position must be part
+    # of the bucket join key) — a plain string stays a literal
+    fam = family if isinstance(family, Column) else F.lit(family)
     out = (
         df.select(F.col(id_col).alias("id"),
                   F.col(bits_col).alias("val"),
+                  fam.alias("family"),
                   F.explode(band_structs).alias("bb"))
-        .select("id", "val", F.col("bb.band").alias("band"),
+        .select("id", "val", "family", F.col("bb.band").alias("band"),
                 F.col("bb.bucket").alias("bucket"))
-        .withColumn("family", F.lit(family))
     )
     if max_hamming is None:
         return out.drop("val")

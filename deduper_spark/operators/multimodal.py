@@ -234,3 +234,57 @@ def audio_dedup_pairs(
     )
     pairs, _dropped = hamming_candidate_pairs(buckets)
     return pairs.select("id_l", "id_r")
+
+
+def video_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    every_n: int = 2,
+    max_hamming: int = 4,
+    min_match_frac: float = 0.8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Video near-dup pairs: two videos match when >= min_match_frac of
+    their co-sampled frame positions have phash-Hamming <= max_hamming
+    frames (re-encoded/re-mastered copies pass; unrelated clips don't).
+
+    Fully reuses the engine's Hamming-LSH machinery: per-frame phashes
+    (zero-transcode sampling, decode only sampled frames) are banded
+    with the frame position baked into the bucket FAMILY
+    ("vf:<frame_idx>"), so the co-located self-join only compares
+    same-position frames and the inline bit_count predicate kills
+    false candidates before the pair-dedup shuffle. The distinct
+    matched frame positions per video pair then come free from the
+    existing collect_set("family") aggregate — no second join against
+    a frames table. One decode pass (localCheckpoint pins the
+    mapInPandas output, which feeds both the per-video sample counts
+    and the banding — the feats double-execution class from round 2).
+    """
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+
+    ph = (video_frame_phashes(df, id_col, bytes_col, every_n)
+          .where("decode_ok")
+          .localCheckpoint())
+    counts = ph.groupBy("id").agg(F.count("*").alias("n_sampled"))
+    buckets = int64_band_buckets(
+        ph, "id", "phash", band_bits=band_bits,
+        family=F.concat(F.lit("vf:"), F.col("frame_idx").cast("string")),
+        max_hamming=max_hamming,
+    )
+    pairs, _dropped = hamming_candidate_pairs(buckets)
+    matched = F.size("families")
+    scored = (
+        pairs
+        .join(counts.select(F.col("id").alias("id_l"),
+                            F.col("n_sampled").alias("n_l")), "id_l")
+        .join(counts.select(F.col("id").alias("id_r"),
+                            F.col("n_sampled").alias("n_r")), "id_r")
+        .where(matched >= F.ceil(F.least("n_l", "n_r")
+                                 * F.lit(float(min_match_frac))))
+    )
+    return scored.select("id_l", "id_r",
+                         matched.alias("matched_frames"), "n_l", "n_r")

@@ -207,3 +207,29 @@ def test_video_frame_phashes_detect_exact_dup(spark):
     assert by_vid["vid000000006"] == by_vid["vid000000000"]   # planted dup
     distinct = {tuple(v) for v in by_vid.values()}
     assert len(distinct) == 9                                  # others differ
+
+
+def test_video_dedup_pairs_planted_and_reencoded(spark):
+    from deduper_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from deduper_spark.operators.multimodal import video_dedup_pairs
+
+    pdf = make_video_pdf(seed=42, n=30)
+    # add a REAL near-dup: clip 0 re-encoded at a lower JPEG quality
+    frames, fps = decode_avi_mjpeg(bytes(pdf.iloc[0]["bytes"]))
+    import pandas as pd
+
+    re_row = pd.DataFrame([{"video_id": "vid900000000",
+                            "bytes": encode_avi_mjpeg(frames, fps=fps,
+                                                      quality=85)}])
+    df = spark.createDataFrame(
+        pd.concat([pdf[["video_id", "bytes"]], re_row], ignore_index=True))
+    got = video_dedup_pairs(df, every_n=2).toPandas()
+    got_pairs = {tuple(sorted((l, r)))
+                 for l, r in zip(got["id_l"], got["id_r"])}
+    want = {(f"vid{b*10:09d}", f"vid{b*10+6:09d}") for b in range(3)}
+    # the re-encode matches BOTH byte-exact copies of clip 0
+    want |= {("vid000000000", "vid900000000"),
+             ("vid000000006", "vid900000000")}
+    assert got_pairs == want
+    # all planted matches cover every co-sampled frame position
+    assert (got["matched_frames"] == got[["n_l", "n_r"]].min(axis=1)).all()
