@@ -40,6 +40,20 @@ def write_parquet(df: DataFrame, path: str, overwrite: bool = True) -> None:
     df.write.mode("overwrite" if overwrite else "error").parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    df.write.mode("overwrite" if overwrite else "error").orc(path)
+
+
+def write_avro(df: DataFrame, path: str, overwrite: bool = True) -> None:
+    from deduper_spark.sources.readers import avro_available
+
+    if not avro_available(df.sparkSession):
+        raise RuntimeError(
+            "spark-avro data source not on the classpath; add the "
+            "org.apache.spark:spark-avro package to the deployment")
+    df.write.mode("overwrite" if overwrite else "error").format("avro").save(path)
+
+
 def write_table(df: DataFrame, ident_or_path: str, overwrite: bool = True) -> None:
     """Iceberg writeTo when a catalog is configured, else parquet."""
     from deduper_spark.sources.readers import iceberg_available

@@ -38,6 +38,40 @@ def read_csv_as_strings(spark: SparkSession, path: str,
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same Catalyst pushdown surface as parquet (predicate
+    pushdown + column pruning reach the ORC reader; training-data
+    lakes commonly mix the two columnar formats)."""
+    return spark.read.orc(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """The spark-avro DATA SOURCE module is external to the core
+    distribution (core avro-*.jar alone is not enough — and a class
+    probe lies: AvroFileFormat is reachable from sql/core in Spark 4
+    while registration still fails). Ask the real registry."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jvm.org.apache.spark.sql.internal.SQLConf.get())
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — row-major: fine for ingest/landing zones, not the
+    analytic hot path (convert to parquet/ORC/Iceberg before repeated
+    scans). Capability-gated: this sandbox's distribution lacks the
+    spark-avro module (probed by tests/test_io_streaming.py), so the
+    API contract raises a clear error instead of a Py4J stack."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro data source not on the classpath; add the "
+            "org.apache.spark:spark-avro package to the deployment")
+    return spark.read.format("avro").load(path)
+
+
 def read_sql(spark: SparkSession, table_or_query: str) -> DataFrame:
     """The reference's tableQuery passthrough (Deduper.kt:392-398):
     prepend SELECT * FROM unless the string already is a SELECT."""
