@@ -1,0 +1,138 @@
+"""Streaming FUZZY (near-dup) ingestion dedup.
+
+Generalizes the reference's cross-run seen-hash ledger
+(Deduper.kt:135-158) from exact MD5 keys to perceptual fingerprints:
+the durable state is a BUCKET ledger — one row per (band, bucket,
+fingerprint, id) from the engine's int64 banding — and every
+micro-batch is joined against it on (band, bucket) with the inline
+``bit_count(xor) <= t`` predicate, exactly the
+hamming_candidate_pairs shape (operators/lsh.py). A batch row whose
+fingerprint sits within Hamming t of ANY previously-ingested row is a
+near-dup and is dropped; survivors append their bucket rows.
+
+Semantics: a batch row is dropped iff it is (a) within t of a RETAINED
+representative in the ledger, or (b) a non-minimal member of a
+within-batch near-dup component — the SAME connected-components
+keep-first rule the flagship batch pipeline applies
+(operators/cc.py + keep-first, Deduper.kt:207-224), so batch and
+streaming ingestion of identical data retain identical survivors.
+The ledger holds surviving representatives only (in exact mode that
+equals the reference's all-hashes ledger, since dropped rows share a
+survivor's key; in fuzzy mode representatives ARE the state).
+Cross-batch transitive closure is out of scope by design: a streaming
+filter decides per arrival; full-history re-clustering belongs to the
+batch pipeline.
+
+Effectively-once: both outputs are batch_id-partitioned dynamic
+overwrites and the ledger read excludes the current batch_id, so a
+retried batch replaces its own partitions and can never see its own
+partial write — same contract as streaming/incremental.py.
+
+Scale note: the ledger join is an equi-join on (band, bucket), hash-
+partitioned; hot buckets (near-constant images) fan out linearly in
+ledger bucket size. Production would bolt the sizing-agg + salt/cap
+path from candidate_pairs onto the ledger side; at this module's
+scope the fan-out is bounded by documenting max_hamming-tight bands
+(band_bits=16 → 2^16 buckets per band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _band_rows(df: DataFrame, id_col: str, fp_col: str,
+               band_bits: int, max_hamming: int) -> DataFrame:
+    from deduper_spark.operators.lsh import int64_band_buckets
+
+    return int64_band_buckets(df, id_col, fp_col, band_bits=band_bits,
+                              family="fp", max_hamming=max_hamming)
+
+
+def stream_fuzzy_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    target_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    id_col: str,
+    fingerprint_col: str,
+    max_hamming: int = 4,
+    band_bits: int = 16,
+    available_now: bool = True,
+):
+    """Start (and return) the streaming query. See module docstring."""
+    from pyspark.errors import AnalysisException
+
+    stream = spark.readStream.schema(source_schema).parquet(source_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        # one fingerprint per id; exact-equal fingerprints collapse
+        # keep-first immediately (min id per fingerprint)
+        base = (batch_df
+                .withColumn("_fp", F.col(fingerprint_col))
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("_fp").orderBy(F.col(id_col))))
+                .where("_rk = 1").drop("_rk"))
+        bands = _band_rows(base, id_col, "_fp", band_bits, max_hamming)
+
+        ham = F.bit_count(F.col("val").bitwiseXOR(F.col("val_r")))
+        # vs ledger: drop any batch row within t of ANY prior row
+        try:
+            ledger = (s.read.parquet(ledger_dir)
+                      .where(F.col("batch_id") < batch_id)
+                      .select("band", "bucket",
+                              F.col("val").alias("val_r")))
+            seen_ids = (bands.join(ledger, ["band", "bucket"])
+                        .where(ham <= max_hamming)
+                        .select(F.col("id").alias(id_col)).distinct())
+        except AnalysisException:
+            # ONLY a genuinely absent ledger is a first run; corrupt or
+            # unreadable state must raise, not silently disable dedup
+            seen_ids = None
+        fresh = (base.join(seen_ids, id_col, "left_anti")
+                 if seen_ids is not None else base)
+
+        # within-batch: connected components over near pairs, keep the
+        # min id per component — identical survivor rule to the batch
+        # pipeline (so batch vs streaming ingestion agree)
+        from deduper_spark.operators.cc import connected_components
+
+        fresh = fresh.localCheckpoint()    # pins the anti-join; feeds
+        #                                    banding AND the final join
+        fb = _band_rows(fresh, id_col, "_fp", band_bits, max_hamming)
+        right = fb.select("band", "bucket", F.col("id").alias("id_r"),
+                          F.col("val").alias("val_r"))
+        pairs = (fb.join(right, ["band", "bucket"])
+                 .where((F.col("id") < F.col("id_r")) & (ham <= max_hamming))
+                 .select("id", "id_r")
+                 .withColumnRenamed("id", "id_l").distinct())
+        comps = connected_components(pairs)
+        dropped = (comps.where(F.col("id") != F.col("cluster_id"))
+                   .select(F.col("id").alias(id_col)))
+        survivors = (fresh.join(dropped, id_col, "left_anti")
+                     .withColumn("batch_id", F.lit(batch_id))
+                     .localCheckpoint())   # compute once for both sinks
+
+        out_bands = (_band_rows(survivors, id_col, "_fp",
+                                band_bits, max_hamming)
+                     .select("band", "bucket", "val",
+                             F.col("id").alias(id_col))
+                     .withColumn("batch_id", F.lit(batch_id)))
+        for cols, path in ((survivors.drop("_fp"), target_dir),
+                           (out_bands, ledger_dir)):
+            (cols.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(path))
+
+    writer = (stream.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -172,3 +172,115 @@ def test_orc_roundtrip_binary_nulls_and_avro_gate(spark, tmp_path):
             read_avro(spark, str(tmp_path / "nope"))
         with _pytest.raises(RuntimeError, match="spark-avro"):
             write_avro(src, str(tmp_path / "nope"))
+
+
+def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
+    """Fuzzy streaming ingest: batch 2 rows within Hamming<=4 of batch-1
+    fingerprints are dropped via the bucket ledger; within-batch near
+    pairs collapse keep-first; a drained re-run ingests nothing new."""
+    import time
+
+    from deduper_spark.streaming.fuzzy import stream_fuzzy_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "image_id string, phash long"
+    P, Q, R = 0x0123456789ABCDEF, 0x7EDCBA9876543210, 0x00FF00FF00FF00FF
+
+    def wait(q):
+        q.awaitTermination(120)
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+
+    # batch 1: P, Q, and an in-batch near-dup of P (1 bit off)
+    spark.createDataFrame(
+        [("a1", P), ("a2", Q), ("a3", P ^ 1)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    args = (spark, str(src), schema, str(tmp_path / "tgt"),
+            str(tmp_path / "ledger"), str(tmp_path / "ckpt"),
+            "image_id", "phash")
+    wait(stream_fuzzy_dedup(*args))
+    tgt = spark.read.parquet(str(tmp_path / "tgt"))
+    assert {r["image_id"] for r in tgt.collect()} == {"a1", "a2"}
+
+    # batch 2: near-dup of P (3 bits), near-dup of Q (exact), fresh R,
+    # and an in-batch near pair (R^2 vs R: 1 bit -> keep-first drops b4)
+    spark.createDataFrame(
+        [("b1", P ^ 0b111), ("b2", Q), ("b3", R), ("b4", R ^ 2)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    wait(stream_fuzzy_dedup(*args))
+    tgt = spark.read.parquet(str(tmp_path / "tgt"))
+    assert {r["image_id"] for r in tgt.collect()} == {"a1", "a2", "b3"}
+
+    # drained re-run: nothing new, outputs unchanged (idempotent)
+    wait(stream_fuzzy_dedup(*args))
+    assert spark.read.parquet(str(tmp_path / "tgt")).count() == 3
+    ledger = spark.read.parquet(str(tmp_path / "ledger"))
+    # ledger holds 4 band rows per survivor (band_bits=16)
+    assert ledger.count() == 3 * 4
+    assert {r["image_id"] for r in
+            ledger.select("image_id").distinct().collect()} == {"a1", "a2", "b3"}
+
+
+def test_stream_fuzzy_dedup_matches_union_find_oracle(spark, tmp_path):
+    """Adversarial chained-fingerprint corpus (most rows within
+    Hamming 4 of several others): the streaming result must equal an
+    independent union-find oracle applying the engine's declared
+    semantics — ledger filter vs retained representatives, then
+    CC keep-first within the batch."""
+    import time
+
+    from deduper_spark.streaming.fuzzy import stream_fuzzy_dedup
+
+    schema = "image_id string, phash long"
+    b1 = [("x%02d" % i, (i << 8) | 0xA5) for i in range(20)]
+    b2 = ([("y%02d" % i, ((i << 8) | 0xA5) ^ 0b11) for i in range(10)]
+          + [("z%02d" % i, (1 << 60) | (i << 16)) for i in range(5)])
+    fps = dict(b1 + b2)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    retained = []
+    for batch in (b1, b2):
+        fresh = [r for r, _ in batch
+                 if not any(ham(fps[r], fps[o]) <= 4 for o in retained)]
+        parent = {r: r for r in fresh}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i, a in enumerate(fresh):
+            for b in fresh[i + 1:]:
+                if ham(fps[a], fps[b]) <= 4:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for r in fresh:
+            comps.setdefault(find(r), []).append(r)
+        retained += [min(v) for v in comps.values()]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    args = (spark, str(src), schema, str(tmp_path / "tgt"),
+            str(tmp_path / "led"), str(tmp_path / "ck"),
+            "image_id", "phash")
+
+    def drain(q):
+        q.awaitTermination(120)
+        while q.isActive:
+            time.sleep(0.2)
+
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        drain(stream_fuzzy_dedup(*args))
+    got = {r["image_id"] for r in
+           spark.read.parquet(str(tmp_path / "tgt")).collect()}
+    assert got == set(retained)
