@@ -211,13 +211,18 @@ def audio_dedup_pairs(
     df: DataFrame,
     id_col: str = "audio_id",
     bytes_col: str = "bytes",
-    max_hamming: int = 4,
-    band_bits: int = 8,
+    max_hamming: int = 3,
+    band_bits: int = 16,
 ) -> DataFrame:
     """Audio near-dup pairs over the energy-delta fingerprint, reusing
     the image/simhash Hamming machinery end-to-end: band the int64
-    fingerprint into LSH buckets (pigeonhole recall guarantee for
-    Hamming <= 64/band_bits - 1 >= max_hamming), then the co-located
+    fingerprint into LSH buckets (band_bits=16 → 4 bands x 65,536
+    buckets, matching the pipeline's phash banding — an 8-bit banding
+    would leave only 256 buckets per band and flood quadratically at
+    corpus scale, the exact simhash failure class round 2 measured at
+    26.7M junk pairs; pigeonhole guarantees recall for Hamming <=
+    n_bands-1 = 3 = the default max_hamming — gain-invariant dups sit
+    at 0), then the co-located
     self-join with the INLINE bit_count predicate — no features join,
     no candidate flood (operators/lsh.py:hamming_candidate_pairs).
     Fingerprints are gain-invariant, so re-mastered/volume-normalized

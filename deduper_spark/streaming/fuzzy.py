@@ -33,7 +33,9 @@ partitioned; hot buckets (near-constant images) fan out linearly in
 ledger bucket size. Production would bolt the sizing-agg + salt/cap
 path from candidate_pairs onto the ledger side; at this module's
 scope the fan-out is bounded by documenting max_hamming-tight bands
-(band_bits=16 → 2^16 buckets per band).
+(band_bits=16 → 4 bands x 2^16 buckets; pigeonhole guarantees recall
+for Hamming <= n_bands-1 = 3, the default max_hamming — same banding
+contract as the batch pipeline's phash path).
 """
 
 from __future__ import annotations
@@ -60,7 +62,7 @@ def stream_fuzzy_dedup(
     checkpoint_dir: str,
     id_col: str,
     fingerprint_col: str,
-    max_hamming: int = 4,
+    max_hamming: int = 3,
     band_bits: int = 16,
     available_now: bool = True,
 ):

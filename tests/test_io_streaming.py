@@ -175,7 +175,7 @@ def test_orc_roundtrip_binary_nulls_and_avro_gate(spark, tmp_path):
 
 
 def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
-    """Fuzzy streaming ingest: batch 2 rows within Hamming<=4 of batch-1
+    """Fuzzy streaming ingest: batch 2 rows within Hamming<=3 of batch-1
     fingerprints are dropped via the bucket ledger; within-batch near
     pairs collapse keep-first; a drained re-run ingests nothing new."""
     import time
@@ -226,7 +226,7 @@ def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
 
 def test_stream_fuzzy_dedup_matches_union_find_oracle(spark, tmp_path):
     """Adversarial chained-fingerprint corpus (most rows within
-    Hamming 4 of several others): the streaming result must equal an
+    Hamming 3 of several others): the streaming result must equal an
     independent union-find oracle applying the engine's declared
     semantics — ledger filter vs retained representatives, then
     CC keep-first within the batch."""
@@ -246,7 +246,7 @@ def test_stream_fuzzy_dedup_matches_union_find_oracle(spark, tmp_path):
     retained = []
     for batch in (b1, b2):
         fresh = [r for r, _ in batch
-                 if not any(ham(fps[r], fps[o]) <= 4 for o in retained)]
+                 if not any(ham(fps[r], fps[o]) <= 3 for o in retained)]
         parent = {r: r for r in fresh}
 
         def find(x):
@@ -257,7 +257,7 @@ def test_stream_fuzzy_dedup_matches_union_find_oracle(spark, tmp_path):
 
         for i, a in enumerate(fresh):
             for b in fresh[i + 1:]:
-                if ham(fps[a], fps[b]) <= 4:
+                if ham(fps[a], fps[b]) <= 3:
                     ra, rb = find(a), find(b)
                     if ra != rb:
                         parent[max(ra, rb)] = min(ra, rb)
