@@ -217,11 +217,21 @@ def test_stream_fuzzy_dedup_cross_batch(spark, tmp_path):
     # drained re-run: nothing new, outputs unchanged (idempotent)
     wait(stream_fuzzy_dedup(*args))
     assert spark.read.parquet(str(tmp_path / "tgt")).count() == 3
+
+    # batch 3: a single all-fresh row (no in-batch pairs at all — the
+    # empty-CC-input path) survives
+    S = 0x5500AA0055AA00AA
+    spark.createDataFrame([("c1", S)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    wait(stream_fuzzy_dedup(*args))
+    tgt = spark.read.parquet(str(tmp_path / "tgt"))
+    assert {r["image_id"] for r in tgt.collect()} == {"a1", "a2", "b3", "c1"}
     ledger = spark.read.parquet(str(tmp_path / "ledger"))
     # ledger holds 4 band rows per survivor (band_bits=16)
-    assert ledger.count() == 3 * 4
+    assert ledger.count() == 4 * 4
     assert {r["image_id"] for r in
-            ledger.select("image_id").distinct().collect()} == {"a1", "a2", "b3"}
+            ledger.select("image_id").distinct().collect()} == {
+        "a1", "a2", "b3", "c1"}
 
 
 def test_stream_fuzzy_dedup_matches_union_find_oracle(spark, tmp_path):
