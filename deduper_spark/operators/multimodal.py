@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 IMAGE_FEATURE_SCHEMA = (
     "id string, decode_ok boolean, w int, h int, mean_r double, "
@@ -293,3 +294,68 @@ def video_dedup_pairs(
     )
     return scored.select("id_l", "id_r",
                          matched.alias("matched_frames"), "n_l", "n_r")
+
+
+def video_dedup_pairs_shifted(
+    df: DataFrame,
+    id_col: str = "video_id",
+    bytes_col: str = "bytes",
+    max_hamming: int = 3,
+    min_matched_frames: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Shift-tolerant video near-dup pairs: catches TRIMMED copies
+    (clip B = clip A minus leading/trailing frames), which positional
+    matching (video_dedup_pairs) cannot see.
+
+    Frame-level phash pairs are generated WITHOUT the position in the
+    bucket key (frames of different positions may meet), then each
+    cross-video frame pair votes for its alignment offset
+    (frame_r - frame_l); a video pair matches when ONE offset collects
+    >= min_matched_frames distinct frame votes — i.e. a consistent
+    temporal alignment, not scattered coincidences. All frames are
+    decoded (stride 1): shifted matching needs every position, so this
+    operator trades decode cost for trim robustness — use
+    video_dedup_pairs when only re-encodes/re-masters matter.
+    Returns (id_l, id_r, offset, matched_frames)."""
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+
+    ph = (video_frame_phashes(df, id_col, bytes_col, every_n=1)
+          .where("decode_ok"))
+    # composite frame id "video#idx" rides through the generic banding
+    phf = ph.withColumn(
+        "fid", F.concat_ws("#", F.col("id"), F.col("frame_idx")))
+    buckets = int64_band_buckets(phf, "fid", "phash", band_bits=band_bits,
+                                 family="vfp", max_hamming=max_hamming)
+    pairs, _dropped = hamming_candidate_pairs(buckets)
+    vid_l = F.substring_index("id_l", "#", 1)
+    vid_r = F.substring_index("id_r", "#", 1)
+    f_l = F.substring_index("id_l", "#", -1).cast("int")
+    f_r = F.substring_index("id_r", "#", -1).cast("int")
+    frame_pairs = (
+        pairs.select(vid_l.alias("v_l"), f_l.alias("f_l"),
+                     vid_r.alias("v_r"), f_r.alias("f_r"))
+        .where(F.col("v_l") != F.col("v_r"))
+        # composite order != video order once frames differ; re-canonicalize
+        .select(
+            F.least("v_l", "v_r").alias("id_l"),
+            F.greatest("v_l", "v_r").alias("id_r"),
+            F.when(F.col("v_l") <= F.col("v_r"),
+                   F.col("f_r") - F.col("f_l"))
+            .otherwise(F.col("f_l") - F.col("f_r")).alias("offset"),
+            F.when(F.col("v_l") <= F.col("v_r"), F.col("f_l"))
+            .otherwise(F.col("f_r")).alias("f_anchor"),
+        )
+    )
+    votes = (frame_pairs
+             .groupBy("id_l", "id_r", "offset")
+             .agg(F.count_distinct("f_anchor").alias("matched_frames"))
+             .where(F.col("matched_frames") >= min_matched_frames))
+    # best alignment per pair
+    best = Window.partitionBy("id_l", "id_r").orderBy(
+        F.col("matched_frames").desc(), F.col("offset"))
+    return (votes.withColumn("_rk", F.row_number().over(best))
+            .where("_rk = 1").drop("_rk"))

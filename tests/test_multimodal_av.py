@@ -233,3 +233,36 @@ def test_video_dedup_pairs_planted_and_reencoded(spark):
     assert got_pairs == want
     # all planted matches cover every co-sampled frame position
     assert (got["matched_frames"] == got[["n_l", "n_r"]].min(axis=1)).all()
+
+
+def test_video_dedup_pairs_shifted_trimmed_copy(spark):
+    """Shift-tolerant matching: a TRIMMED copy (first two frames cut,
+    re-encoded at lower quality) aligns at a consistent offset;
+    positional matching misses it, offset voting catches it."""
+    import pandas as pd
+
+    from deduper_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from deduper_spark.operators.multimodal import (
+        video_dedup_pairs,
+        video_dedup_pairs_shifted,
+    )
+
+    pdf = make_video_pdf(seed=42, n=6)          # 6 distinct base clips
+    frames, fps = decode_avi_mjpeg(bytes(pdf.iloc[0]["bytes"]))  # 6 frames
+    trimmed = pd.DataFrame([{
+        "video_id": "vid900000000",
+        "bytes": encode_avi_mjpeg(frames[2:], fps=fps, quality=85),
+    }])
+    df = spark.createDataFrame(
+        pd.concat([pdf[["video_id", "bytes"]], trimmed], ignore_index=True))
+
+    got = video_dedup_pairs_shifted(df, min_matched_frames=3).toPandas()
+    rows = {(r["id_l"], r["id_r"]): (r["offset"], r["matched_frames"])
+            for _, r in got.iterrows()}
+    # trimmed copy aligns to clip 0 at offset -2 with 4 frame votes
+    assert rows[("vid000000000", "vid900000000")] == (-2, 4)
+    assert len(rows) == 1
+    # positional matching cannot see the trim (threshold 80% of 6)
+    pos = video_dedup_pairs(df, every_n=1).toPandas()
+    assert not ((pos["id_l"] == "vid000000000")
+                & (pos["id_r"] == "vid900000000")).any()
