@@ -57,13 +57,21 @@ def extract_image_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFr
 
 
 def resize_images(df: DataFrame, id_col: str, bytes_col: str,
-                  out_w: int, out_h: int) -> DataFrame:
-    """Block-mean resize, re-encoded into the dspk container.
-    Undecodable rows pass through with resized_ok=false."""
+                  out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
+    """Nearest-neighbor resize, re-encoded into a REAL container:
+    out_fmt 'png' (default — interchange-grade output any consumer
+    reads), 'jpeg' (lossy, smaller), or 'dspk' (raw, fastest, engine-
+    internal). Undecodable rows pass through with resized_ok=false."""
+    if out_fmt not in ("png", "jpeg", "dspk"):
+        raise ValueError(f"unsupported out_fmt {out_fmt!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.jpeg import encode_jpeg
         from deduper_spark.functions.phash import decode_image, encode_image
+        from deduper_spark.functions.png import encode_png
 
+        enc = {"png": encode_png, "jpeg": encode_jpeg,
+               "dspk": encode_image}[out_fmt]
         for pdf in batches:
             ids, blobs, oks = [], [], []
             for rid, buf in zip(pdf["id"], pdf["b"]):
@@ -73,7 +81,7 @@ def resize_images(df: DataFrame, id_col: str, bytes_col: str,
                     yi = (np.arange(out_h) * h // out_h)
                     xi = (np.arange(out_w) * w // out_w)
                     small = px[yi][:, xi]
-                    blobs.append(encode_image(small))
+                    blobs.append(enc(np.ascontiguousarray(small)))
                     oks.append(True)
                 except (NotImplementedError, ValueError):
                     blobs.append(None)

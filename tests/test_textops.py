@@ -148,8 +148,14 @@ def test_multimodal_plumbing(spark):
     resized = resize_images(df, "image_id", "bytes", 16, 16).collect()
     assert all(r["resized_ok"] for r in resized)
     from deduper_spark.functions.phash import decode_image
-    px = decode_image(bytes(resized[0]["bytes"]))
+    blob = bytes(resized[0]["bytes"])
+    assert blob[:4] == b"\x89PNG"          # interchange-grade output
+    px = decode_image(blob)
     assert px.shape == (16, 16, 3)
+    jpg = resize_images(df.limit(2), "image_id", "bytes", 16, 16,
+                        out_fmt="jpeg").collect()
+    assert bytes(jpg[0]["bytes"])[:2] == b"\xff\xd8"
+    assert decode_image(bytes(jpg[0]["bytes"])).shape == (16, 16, 3)
 
     frames = sample_video_frames(df.limit(3), "image_id", "bytes").collect()
     assert len(frames) == 3 and all(r["decode_ok"] for r in frames)
