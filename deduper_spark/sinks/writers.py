@@ -40,6 +40,25 @@ def write_parquet(df: DataFrame, path: str, overwrite: bool = True) -> None:
     df.write.mode("overwrite" if overwrite else "error").parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: tuple[str, ...],
+                   n_buckets: int, sort_cols: tuple[str, ...] = (),
+                   path: str | None = None) -> None:
+    """Persist hash-bucketed (optionally sorted) — the co-located-join
+    substrate: two tables bucketed identically on the join key join
+    with NO Exchange (asserted in-plan by
+    tests/test_bucketed_join.py). At 100 TB this is how the seen-hash
+    ledger and the incoming batch pre-agree on partitioning so the
+    nightly anti-join never reshuffles the corpus. Spark-native
+    bucketing (bucketBy + saveAsTable); Iceberg's bucket transform is
+    the same idea when the catalog is available."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 def write_orc(df: DataFrame, path: str, overwrite: bool = True) -> None:
     df.write.mode("overwrite" if overwrite else "error").orc(path)
 

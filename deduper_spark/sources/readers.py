@@ -45,6 +45,12 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table BY NAME (spark.table — path reads drop the
+    bucketing metadata and with it the no-shuffle join guarantee)."""
+    return spark.table(table)
+
+
 def avro_available(spark: SparkSession) -> bool:
     """The spark-avro DATA SOURCE module is external to the core
     distribution (core avro-*.jar alone is not enough — and a class
