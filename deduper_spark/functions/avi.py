@@ -94,19 +94,20 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:
-    """AVI bytes → ([(h, w, 3) uint8 frames], fps). Walks the RIFF
-    tree; only the 'movi' LIST and 'avih' header are required, any
-    other chunk is skipped (players add INFO/JUNK freely)."""
-    from deduper_spark.functions.jpeg import decode_jpeg
-
+def _iter_chunks(buf: bytes):
+    """Yield (chunk_id, payload) DEPTH-FIRST in container order — the
+    single RIFF walker behind both decode_avi_mjpeg and
+    iter_avi_frame_bytes, so frame ORDER cannot diverge between the
+    decode and zero-transcode paths (interleaved AVIs nest frames in
+    'rec ' sublists between direct movi chunks; a breadth-first walk
+    would renumber them)."""
     if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
-    fps = 0
-    frames: list[np.ndarray] = []
+    end = 8 + struct.unpack("<I", buf[4:8])[0]
+    if end > len(buf):
+        raise ValueError("truncated AVI stream")
 
-    def walk(lo: int, hi: int) -> None:
-        nonlocal fps
+    def walk(lo: int, hi: int):
         pos = lo
         while pos + 8 <= hi:
             cid = buf[pos:pos + 4]
@@ -115,18 +116,28 @@ def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:
             if body_hi > hi:
                 raise ValueError(f"truncated {cid!r} chunk")
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)          # skip the list kind
-            elif cid == b"avih" and size >= 4:
-                (uspf,) = struct.unpack("<I", buf[body_lo:body_lo + 4])
-                fps = round(1_000_000 / uspf) if uspf else 0
-            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
-                frames.append(decode_jpeg(buf[body_lo:body_hi]))
+                yield from walk(body_lo + 4, body_hi)   # skip list kind
+            else:
+                yield cid, buf[body_lo:body_hi]
             pos = body_hi + (size % 2)
 
-    end = 8 + struct.unpack("<I", buf[4:8])[0]
-    if end > len(buf):
-        raise ValueError("truncated AVI stream")
-    walk(12, end)
+    yield from walk(12, end)
+
+
+def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:
+    """AVI bytes → ([(h, w, 3) uint8 frames], fps). Only the frame
+    chunks and the 'avih' header matter; anything else (INFO/JUNK/
+    idx1) is skipped, per the RIFF rules."""
+    from deduper_spark.functions.jpeg import decode_jpeg
+
+    fps = 0
+    frames: list[np.ndarray] = []
+    for cid, payload in _iter_chunks(buf):
+        if cid == b"avih" and len(payload) >= 4:
+            (uspf,) = struct.unpack("<I", payload[:4])
+            fps = round(1_000_000 / uspf) if uspf else 0
+        elif cid[2:4] in (b"dc", b"db"):
+            frames.append(decode_jpeg(payload))
     if not frames:
         raise ValueError("AVI stream contains no video frames")
     return frames, fps
@@ -135,26 +146,10 @@ def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:
 def iter_avi_frame_bytes(buf: bytes):
     """Yield (frame_idx, jpeg_bytes) WITHOUT decoding — the zero-
     transcode path for frame sampling: sampled frames ship as the
-    contained JPEG chunks untouched."""
-    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
-        raise ValueError("not a RIFF/AVI stream")
-    hi_all = 8 + struct.unpack("<I", buf[4:8])[0]
-    if hi_all > len(buf):
-        raise ValueError("truncated AVI stream")
+    contained JPEG chunks untouched. Same walker (and therefore the
+    same frame order) as decode_avi_mjpeg."""
     idx = 0
-    stack = [(12, hi_all)]
-    while stack:
-        lo, hi = stack.pop(0)
-        pos = lo
-        while pos + 8 <= hi:
-            cid = buf[pos:pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-            body_lo, body_hi = pos + 8, pos + 8 + size
-            if body_hi > hi:
-                raise ValueError(f"truncated {cid!r} chunk")
-            if cid == b"LIST":
-                stack.append((body_lo + 4, body_hi))
-            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
-                yield idx, buf[body_lo:body_hi]
-                idx += 1
-            pos = body_hi + (size % 2)
+    for cid, payload in _iter_chunks(buf):
+        if cid[2:4] in (b"dc", b"db"):
+            yield idx, payload
+            idx += 1

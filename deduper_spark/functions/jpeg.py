@@ -389,8 +389,21 @@ def _decode_huff(reader: _BitReader,
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
-    data = bytes(buf)
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    Contract: ANY malformed input raises ValueError (the mapInPandas
+    isolation layer catches exactly that) — structurally-well-framed
+    streams with inconsistent contents (empty SOS, short SOF, scan
+    referencing an absent component) would otherwise surface as
+    IndexError/struct.error/KeyError from the segment parsers and kill
+    the whole job at scale."""
+    try:
+        return _decode_jpeg_inner(bytes(buf))
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

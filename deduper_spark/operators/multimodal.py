@@ -116,14 +116,18 @@ def sample_video_frames(df: DataFrame, id_col: str, bytes_col: str,
             rows = []
             for rid, buf in zip(pdf["id"], pdf["b"]):
                 raw = bytes(buf)
+                blob_rows = []          # buffered: a mid-container
+                #                         failure must not leave a
+                #                         partial mix of ok + failed rows
                 try:
                     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                         for idx, jpg in iter_avi_frame_bytes(raw):
                             if idx % every_n == 0:
-                                rows.append((rid, idx, jpg, True))
+                                blob_rows.append((rid, idx, jpg, True))
                     else:
                         px = decode_image(raw)      # 1-frame 'video'
-                        rows.append((rid, 0, encode_image(px), True))
+                        blob_rows.append((rid, 0, encode_image(px), True))
+                    rows.extend(blob_rows)
                 except (NotImplementedError, ValueError):
                     rows.append((rid, None, None, False))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "frame_bytes",
@@ -153,14 +157,17 @@ def video_frame_phashes(df: DataFrame, id_col: str, bytes_col: str,
             rows = []
             for rid, buf in zip(pdf["id"], pdf["b"]):
                 raw = bytes(buf)
+                blob_rows = []          # buffered — see sample_video_frames
                 try:
                     if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
                         for idx, jpg in iter_avi_frame_bytes(raw):
                             if idx % every_n == 0:
-                                rows.append((rid, idx, True,
-                                             phash64(decode_jpeg(jpg))))
+                                blob_rows.append((rid, idx, True,
+                                                  phash64(decode_jpeg(jpg))))
                     else:
-                        rows.append((rid, 0, True, phash64(decode_image(raw))))
+                        blob_rows.append((rid, 0, True,
+                                          phash64(decode_image(raw))))
+                    rows.extend(blob_rows)
                 except (NotImplementedError, ValueError):
                     rows.append((rid, None, False, None))
             yield pd.DataFrame(rows, columns=["id", "frame_idx",
@@ -241,7 +248,11 @@ def audio_dedup_pairs(
         int64_band_buckets,
     )
 
-    feats = extract_audio_features(df, id_col, bytes_col).where("decode_ok")
+    # pin the decode: hamming_candidate_pairs consumes the bucket rows
+    # three times (sizing agg + both self-join sides) — without the pin
+    # the WAV decode + FFT mapInPandas would re-execute each time
+    feats = (extract_audio_features(df, id_col, bytes_col)
+             .where("decode_ok").localCheckpoint())
     buckets = int64_band_buckets(
         feats, "id", "afp", band_bits=band_bits, family="afp",
         max_hamming=max_hamming,
@@ -332,15 +343,22 @@ def video_dedup_pairs_shifted(
     )
 
     ph = (video_frame_phashes(df, id_col, bytes_col, every_n=1)
-          .where("decode_ok"))
+          .where("decode_ok")
+          .localCheckpoint())   # pin the stride-1 decode (consumed 3x
+    #                             downstream: sizing + both join sides)
     # composite frame id "video#idx" rides through the generic banding
     phf = ph.withColumn(
         "fid", F.concat_ws("#", F.col("id"), F.col("frame_idx")))
     buckets = int64_band_buckets(phf, "fid", "phash", band_bits=band_bits,
                                  family="vfp", max_hamming=max_hamming)
     pairs, _dropped = hamming_candidate_pairs(buckets)
-    vid_l = F.substring_index("id_l", "#", 1)
-    vid_r = F.substring_index("id_r", "#", 1)
+    def _vid(c):   # everything BEFORE the last '#' — ids may contain '#'
+        return F.expr(
+            f"substring({c}, 1, length({c}) - "
+            f"length(substring_index({c}, '#', -1)) - 1)")
+
+    vid_l = _vid("id_l")
+    vid_r = _vid("id_r")
     f_l = F.substring_index("id_l", "#", -1).cast("int")
     f_r = F.substring_index("id_r", "#", -1).cast("int")
     frame_pairs = (

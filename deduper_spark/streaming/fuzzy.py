@@ -94,28 +94,34 @@ def stream_fuzzy_dedup(
             seen_ids = (bands.join(ledger, ["band", "bucket"])
                         .where(ham <= max_hamming)
                         .select(F.col("id").alias(id_col)).distinct())
-        except AnalysisException:
+        except AnalysisException as exc:
             # ONLY a genuinely absent ledger is a first run; corrupt or
             # unreadable state must raise, not silently disable dedup
+            # (same narrowing as pipeline._preload_seen)
+            probe = getattr(exc, "getCondition",
+                            getattr(exc, "getErrorClass", lambda: ""))
+            if "PATH_NOT_FOUND" not in str(probe() or ""):
+                raise
             seen_ids = None
         fresh = (base.join(seen_ids, id_col, "left_anti")
                  if seen_ids is not None else base)
 
         # within-batch: connected components over near pairs, keep the
         # min id per component — identical survivor rule to the batch
-        # pipeline (so batch vs streaming ingestion agree)
+        # pipeline (so batch vs streaming ingestion agree). Pair
+        # generation goes through hamming_candidate_pairs — the bucket
+        # rows already carry (val, max_ham) — so hot-bucket
+        # sizing/salting/caps apply to a skewed batch (a crawler
+        # hiccup emitting thousands of near-identical rows) exactly as
+        # in the batch operators.
         from deduper_spark.operators.cc import connected_components
+        from deduper_spark.operators.lsh import hamming_candidate_pairs
 
         fresh = fresh.localCheckpoint()    # pins the anti-join; feeds
         #                                    banding AND the final join
         fb = _band_rows(fresh, id_col, "_fp", band_bits, max_hamming)
-        right = fb.select("band", "bucket", F.col("id").alias("id_r"),
-                          F.col("val").alias("val_r"))
-        pairs = (fb.join(right, ["band", "bucket"])
-                 .where((F.col("id") < F.col("id_r")) & (ham <= max_hamming))
-                 .select("id", "id_r")
-                 .withColumnRenamed("id", "id_l").distinct())
-        comps = connected_components(pairs)
+        pairs, _dropped = hamming_candidate_pairs(fb)
+        comps = connected_components(pairs.select("id_l", "id_r"))
         dropped = (comps.where(F.col("id") != F.col("cluster_id"))
                    .select(F.col("id").alias(id_col)))
         survivors = (fresh.join(dropped, id_col, "left_anti")

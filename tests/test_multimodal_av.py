@@ -266,3 +266,46 @@ def test_video_dedup_pairs_shifted_trimmed_copy(spark):
     pos = video_dedup_pairs(df, every_n=1).toPandas()
     assert not ((pos["id_l"] == "vid000000000")
                 & (pos["id_r"] == "vid900000000")).any()
+
+
+def test_mid_container_failure_isolates_whole_blob(spark):
+    """An AVI truncated AFTER some valid frames must yield exactly ONE
+    decode_ok=false row — not a partial mix of ok frames plus a
+    failure row (corrupt containers are all-or-nothing)."""
+    import struct
+
+    from deduper_spark.operators.multimodal import (
+        sample_video_frames,
+        video_frame_phashes,
+    )
+
+    pdf = make_video_pdf(seed=42, n=1)
+    good = bytes(pdf.iloc[0]["bytes"])
+    # corrupt the trailing idx1 chunk's declared size so the walker
+    # hits 'truncated chunk' AFTER yielding every frame chunk
+    idx1_at = good.rindex(b"idx1")
+    bad = (good[:idx1_at + 4]
+           + struct.pack("<I", 0x0FFFFFFF) + good[idx1_at + 8:])
+    df = spark.createDataFrame(
+        [("partial0", bytearray(bad))], "video_id string, bytes binary")
+    for op in (sample_video_frames, video_frame_phashes):
+        out = op(df, "video_id", "bytes", 1).toPandas()
+        assert len(out) == 1 and not out.iloc[0]["decode_ok"], op.__name__
+
+
+def test_shifted_matching_with_hash_in_video_id(spark):
+    """Video ids containing '#' must not break the composite frame-id
+    parsing (the frame index is the LAST '#'-segment)."""
+    import pandas as pd
+
+    from deduper_spark.operators.multimodal import video_dedup_pairs_shifted
+
+    pdf = make_video_pdf(seed=42, n=3)
+    renamed = pdf[["video_id", "bytes"]].copy()
+    renamed["video_id"] = ["tenant#a", "tenant#b", "tenant#c"]
+    dup = pd.DataFrame([{"video_id": "tenant#a2",
+                         "bytes": renamed.iloc[0]["bytes"]}])
+    df = spark.createDataFrame(pd.concat([renamed, dup], ignore_index=True))
+    got = video_dedup_pairs_shifted(df, min_matched_frames=3).toPandas()
+    pairs = {(r["id_l"], r["id_r"]) for _, r in got.iterrows()}
+    assert pairs == {("tenant#a", "tenant#a2")}
