@@ -107,21 +107,28 @@ def _iter_chunks(buf: bytes):
     if end > len(buf):
         raise ValueError("truncated AVI stream")
 
-    def walk(lo: int, hi: int):
-        pos = lo
-        while pos + 8 <= hi:
-            cid = buf[pos:pos + 4]
-            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
-            body_lo, body_hi = pos + 8, pos + 8 + size
-            if body_hi > hi:
-                raise ValueError(f"truncated {cid!r} chunk")
-            if cid == b"LIST":
-                yield from walk(body_lo + 4, body_hi)   # skip list kind
-            else:
-                yield cid, buf[body_lo:body_hi]
-            pos = body_hi + (size % 2)
-
-    yield from walk(12, end)
+    # explicit-stack DFS, NOT recursion: a crafted blob of thousands of
+    # nested LIST headers must exhaust the CHUNK, not the interpreter
+    # stack — a RecursionError would escape the operators' isolation
+    # contract (they catch ValueError only) and kill the whole task.
+    # Each stack frame is a mutable [pos, hi] cursor into one LIST body.
+    stack: list[list[int]] = [[12, end]]
+    while stack:
+        frame = stack[-1]
+        pos, hi = frame
+        if pos + 8 > hi:
+            stack.pop()
+            continue
+        cid = buf[pos:pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        body_lo, body_hi = pos + 8, pos + 8 + size
+        if body_hi > hi:
+            raise ValueError(f"truncated {cid!r} chunk")
+        frame[0] = body_hi + (size % 2)
+        if cid == b"LIST":
+            stack.append([body_lo + 4, body_hi])    # skip list kind
+        else:
+            yield cid, buf[body_lo:body_hi]
 
 
 def decode_avi_mjpeg(buf: bytes) -> tuple[list[np.ndarray], int]:

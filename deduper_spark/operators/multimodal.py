@@ -124,6 +124,13 @@ def sample_video_frames(df: DataFrame, id_col: str, bytes_col: str,
                         for idx, jpg in iter_avi_frame_bytes(raw):
                             if idx % every_n == 0:
                                 blob_rows.append((rid, idx, jpg, True))
+                        if not blob_rows:
+                            # structurally valid AVI with zero frame
+                            # chunks must surface as decode_ok=false,
+                            # not silently vanish (decode_avi_mjpeg
+                            # raises for the same input)
+                            raise ValueError(
+                                "AVI stream contains no video frames")
                     else:
                         px = decode_image(raw)      # 1-frame 'video'
                         blob_rows.append((rid, 0, encode_image(px), True))
@@ -164,6 +171,12 @@ def video_frame_phashes(df: DataFrame, id_col: str, bytes_col: str,
                             if idx % every_n == 0:
                                 blob_rows.append((rid, idx, True,
                                                   phash64(decode_jpeg(jpg))))
+                        if not blob_rows:
+                            # zero-frame AVI: decode_ok=false, not a
+                            # silent disappearance (same contract as
+                            # sample_video_frames / decode_avi_mjpeg)
+                            raise ValueError(
+                                "AVI stream contains no video frames")
                     else:
                         blob_rows.append((rid, 0, True,
                                           phash64(decode_image(raw))))

@@ -73,6 +73,11 @@ def stream_fuzzy_dedup(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # an empty batch must not write a _SUCCESS-only ledger dir:
+            # the next batch's schema inference would fail permanently
+            # (UNABLE_TO_INFER_SCHEMA), bricking the stream
+            return
         # one fingerprint per id; exact-equal fingerprints collapse
         # keep-first immediately (min id per fingerprint)
         base = (batch_df
@@ -95,12 +100,17 @@ def stream_fuzzy_dedup(
                         .where(ham <= max_hamming)
                         .select(F.col("id").alias(id_col)).distinct())
         except AnalysisException as exc:
-            # ONLY a genuinely absent ledger is a first run; corrupt or
-            # unreadable state must raise, not silently disable dedup
-            # (same narrowing as pipeline._preload_seen)
+            # ONLY a genuinely absent ledger (PATH_NOT_FOUND) or an
+            # empty directory left by a crashed/zero-row first write
+            # (UNABLE_TO_INFER_SCHEMA — parquet dir with only _SUCCESS)
+            # is a first run; corrupt or unreadable state must raise,
+            # not silently disable dedup (same narrowing as
+            # pipeline._preload_seen)
             probe = getattr(exc, "getCondition",
                             getattr(exc, "getErrorClass", lambda: ""))
-            if "PATH_NOT_FOUND" not in str(probe() or ""):
+            cond = str(probe() or "")
+            if ("PATH_NOT_FOUND" not in cond
+                    and "UNABLE_TO_INFER_SCHEMA" not in cond):
                 raise
             seen_ids = None
         fresh = (base.join(seen_ids, id_col, "left_anti")

@@ -1,0 +1,246 @@
+"""Round-4 regression tests: ADVICE fixes (AVI walker recursion,
+zero-frame AVI isolation, streaming-fuzzy empty first batch) plus the
+Hamming salt recall guarantee and codec fast paths."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from deduper_spark.functions.avi import (
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+    iter_avi_frame_bytes,
+)
+
+
+def _nested_lists_avi(depth: int) -> bytes:
+    """RIFF/AVI whose body is `depth` nested LIST chunks and nothing
+    else — the recursion bomb from the round-3 advice."""
+    body = b""
+    for _ in range(depth):
+        payload = b"list" + body            # 4-byte list kind + body
+        body = b"LIST" + struct.pack("<I", len(payload)) + payload
+    full = b"AVI " + body
+    return b"RIFF" + struct.pack("<I", len(full)) + full
+
+
+def test_avi_deep_nesting_no_recursion_error():
+    # ~4000 nested LISTs would blow the default recursion limit many
+    # times over with a recursive walker; the iterative one just walks
+    blob = _nested_lists_avi(4000)
+    assert list(iter_avi_frame_bytes(blob)) == []
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi_mjpeg(blob)
+
+
+def test_avi_deep_nesting_isolates_in_operator(spark):
+    from deduper_spark.operators.multimodal import video_frame_phashes
+
+    df = spark.createDataFrame(
+        [("bomb", bytearray(_nested_lists_avi(4000)))],
+        "video_id string, bytes binary")
+    rows = video_frame_phashes(df, "video_id", "bytes").collect()
+    assert [(r["id"], r["decode_ok"]) for r in rows] == [("bomb", False)]
+
+
+def test_zero_frame_avi_yields_decode_ok_false(spark):
+    from deduper_spark.operators.multimodal import (
+        sample_video_frames,
+        video_frame_phashes,
+    )
+
+    # structurally valid AVI, zero frame chunks
+    empty = b"RIFF" + struct.pack("<I", 4) + b"AVI "
+    frames = encode_avi_mjpeg(
+        [np.zeros((16, 16, 3), np.uint8)], fps=5)
+    df = spark.createDataFrame(
+        [("empty0", bytearray(empty)), ("ok0", bytearray(frames))],
+        "video_id string, bytes binary")
+
+    got = {(r["id"], r["decode_ok"])
+           for r in sample_video_frames(df, "video_id", "bytes").collect()}
+    assert got == {("empty0", False), ("ok0", True)}
+
+    got = {(r["id"], r["decode_ok"])
+           for r in video_frame_phashes(df, "video_id", "bytes").collect()}
+    assert got == {("empty0", False), ("ok0", True)}
+
+
+def test_stream_fuzzy_empty_first_batch_does_not_brick(spark, tmp_path):
+    """An empty first micro-batch must not leave a _SUCCESS-only ledger
+    dir that fails every later batch with UNABLE_TO_INFER_SCHEMA."""
+    import time
+
+    from deduper_spark.streaming.fuzzy import stream_fuzzy_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "image_id string, phash long"
+
+    def wait(q):
+        q.awaitTermination(120)
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+
+    # batch 1: a parquet file with ZERO rows
+    spark.createDataFrame([], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    args = (spark, str(src), schema, str(tmp_path / "tgt"),
+            str(tmp_path / "ledger"), str(tmp_path / "ckpt"),
+            "image_id", "phash")
+    wait(stream_fuzzy_dedup(*args))
+
+    # batch 2: real rows — must ingest cleanly (P kept, near-dup dropped)
+    P = 0x0123456789ABCDEF
+    spark.createDataFrame([("a1", P), ("a2", P ^ 1)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    wait(stream_fuzzy_dedup(*args))
+    tgt = spark.read.parquet(str(tmp_path / "tgt"))
+    assert {r["image_id"] for r in tgt.collect()} == {"a1"}
+
+    # batch 3: near-dup of the retained row — the ledger written after
+    # the empty batch must be readable and effective
+    spark.createDataFrame([("b1", P ^ 2)], schema) \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    wait(stream_fuzzy_dedup(*args))
+    assert spark.read.parquet(str(tmp_path / "tgt")).count() == 1
+
+
+# ------------------------------------------------------------------
+# Hamming hot-bucket recall guarantee (round-3 "What's wrong" #1)
+# ------------------------------------------------------------------
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def test_hamming_hot_bucket_pigeonhole_pair_survives_salting(spark):
+    """A pair at Hamming = n_bands-1 shares exactly ONE band bucket
+    (pigeonhole). If that bucket is hot (1,000 members > max_bucket_size
+    200), scalar salting could split the pair; the triangle-block
+    decomposition must still recover it."""
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+
+    fa = 0xAAAA5555111234
+    fb = fa ^ (1 << 16) ^ (1 << 32) ^ (1 << 48)   # Hamming 3, only
+    #                                               band 0 (low 16) shared
+    assert _hamming(fa, fb) == 3
+
+    rows = [("pairA", fa), ("pairB", fb)]
+    # 1,000 fillers share band-0 bucket 0x1234 but sit far (>3) from
+    # the pair and from each other in the high 48 bits
+    rng = np.random.default_rng(99)
+    seen = {fa >> 16, fb >> 16}
+    i = 0
+    while len(rows) < 1002:
+        hi = int(rng.integers(0, 1 << 48))
+        if all(_hamming(hi << 16, s << 16) > 8 for s in seen):
+            rows.append((f"fill{i:04d}", (hi << 16) | 0x1234))
+            seen.add(hi)
+            i += 1
+    df = spark.createDataFrame(rows, "id string, fp long")
+    buckets = int64_band_buckets(df, "id", "fp", band_bits=16,
+                                 family="fp", max_hamming=3)
+    pairs, dropped = hamming_candidate_pairs(buckets, max_bucket_size=200)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    assert ("pairA", "pairB") in got, (
+        "max-Hamming pair split by hot-bucket salting — the pigeonhole "
+        "recall guarantee is violated")
+    assert dropped.count() == 0
+
+
+def test_hamming_triangle_blocks_equal_unsalted_ground_truth(spark):
+    """On one 300-member bucket, the salted (triangle-block) result must
+    EQUAL the exact all-pairs ground truth — salting redistributes work,
+    never changes the answer."""
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+
+    rng = np.random.default_rng(7)
+    fps = [(f"r{i:03d}", (int(rng.integers(0, 1 << 44)) << 20) | 0xBEEF0 | 0)
+           for i in range(300)]
+    # same low-16 bucket for band 0; random elsewhere
+    fps = [(rid, (v & ~0xFFFF) | 0x00FF) for rid, v in fps]
+    truth = {
+        (a, b)
+        for i, (a, va) in enumerate(fps)
+        for b, vb in fps[i + 1:]
+        if _hamming(va, vb) <= 12
+    }
+    df = spark.createDataFrame(fps, "id string, fp long")
+    buckets = int64_band_buckets(df, "id", "fp", band_bits=16,
+                                 family="fp", max_hamming=12)
+    pairs, _ = hamming_candidate_pairs(buckets, max_bucket_size=50)
+    got = {(r["id_l"], r["id_r"]) for r in pairs.collect()}
+    # candidate generation is bucket-limited: every truth pair sharing a
+    # band bucket must appear; band-0 bucket is shared by ALL rows, so
+    # candidate coverage is total and got must equal truth exactly
+    assert got == truth
+
+
+def test_streaming_vs_batch_chained_dup_parity_boundary(spark, tmp_path):
+    """Pins the documented scope boundary (streaming/fuzzy.py: no
+    cross-batch transitive closure): a Hamming chain A~B~C split across
+    micro-batches keeps {A, C} in streaming (C is not near the RETAINED
+    representative A), while the batch pipeline's connected components
+    keeps only A. Both are correct under their declared semantics; this
+    test is the executable statement of exactly where they diverge."""
+    import time
+
+    from deduper_spark.operators.cc import connected_components
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+    from deduper_spark.streaming.fuzzy import stream_fuzzy_dedup
+
+    A = 0x0F0F0F0F0F0F0F0F
+    B = A ^ 0b111                  # Hamming(A,B) = 3
+    C = B ^ (0b111 << 20)          # Hamming(B,C) = 3, Hamming(A,C) = 6
+    schema = "image_id string, phash long"
+
+    # ---- batch semantics: one corpus, transitive closure keeps only A
+    df = spark.createDataFrame([("A", A), ("B", B), ("C", C)], schema)
+    buckets = int64_band_buckets(df, "image_id", "phash", band_bits=16,
+                                 family="fp", max_hamming=3)
+    pairs, _ = hamming_candidate_pairs(buckets)
+    comps = connected_components(pairs.select("id_l", "id_r"))
+    batch_survivors = {"A", "B", "C"} - {
+        r["id"] for r in comps.where("id != cluster_id").collect()}
+    assert batch_survivors == {"A"}
+
+    # ---- streaming semantics: A|B|C in three micro-batches
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def wait(q):
+        q.awaitTermination(120)
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+
+    args = (spark, str(src), schema, str(tmp_path / "tgt"),
+            str(tmp_path / "ledger"), str(tmp_path / "ckpt"),
+            "image_id", "phash")
+    for rid, fp in (("A", A), ("B", B), ("C", C)):
+        spark.createDataFrame([(rid, fp)], schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        wait(stream_fuzzy_dedup(*args))
+    stream_survivors = {
+        r["image_id"]
+        for r in spark.read.parquet(str(tmp_path / "tgt")).collect()}
+    # B dropped (near retained A); C RETAINED (compared against A only —
+    # the dropped B is not in the ledger). THE divergence, pinned:
+    assert stream_survivors == {"A", "C"}
+    assert stream_survivors != batch_survivors
