@@ -152,8 +152,24 @@ def hamming_candidate_pairs(
     codegen stage and false candidates die BEFORE the pair-dedup
     shuffle — the downstream groupBy sees ~confirmed pairs only.
 
-    buckets: (family, band, bucket, id, val, max_ham). Sizing, salting
-    and hot-bucket accounting are identical to candidate_pairs.
+    buckets: (family, band, bucket, id, val, max_ham). Sizing and
+    hot-bucket accounting are identical to candidate_pairs, but the
+    "salt" policy here is a TRIANGLE-BLOCK decomposition, not scalar
+    salting: a hot bucket's members get a sub-bucket index u =
+    pmod(xxhash64(id), n_sub), and each row is replicated into the
+    n_sub blocks {(min(u,k), max(u,k)) : k < n_sub}; block (a, a)
+    pairs sub-bucket a with itself, block (a, b) with a < b pairs
+    sub-buckets a x b. EVERY intra-bucket pair lands in exactly one
+    block, so the
+    pigeonhole recall guarantee (a pair at Hamming n_bands-1 shares
+    exactly ONE band) survives hot buckets — scalar salting could
+    split that pair's single shared bucket and silently lose it. Cost:
+    the total comparison count is unchanged (it is the price of the
+    guarantee), but per-task work is bounded by ~max_bucket_size² and
+    the s²/2 comparisons of an s-member bucket spread across
+    n_sub(n_sub+1)/2 tasks instead of pinning one. Buckets beyond
+    ``salt_cap`` are stop-patterns and are still dropped + metered.
+
     Returns (pairs(id_l, id_r, families), dropped_buckets);
     ``with_distance`` adds the pair's Hamming distance (min across
     families — for a single-family input it IS the distance).
@@ -167,28 +183,64 @@ def hamming_candidate_pairs(
     dropped = sizes.where(F.col("bucket_size") > hard_cap)
 
     b = buckets.join(admitted.select(*key, "bucket_size"), key)
+    dist = F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
     if hot_bucket_policy == "salt":
-        n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size))
-        b = b.withColumn(
-            "salt", F.pmod(F.xxhash64("id"), n_sub).cast("int")
-        ).drop("bucket_size")
-        key = key + ["salt"]
+        n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)) \
+            .cast("int")
+        b = (
+            b.withColumn("n_sub", n_sub)
+            .withColumn("u", F.pmod(F.xxhash64("id"),
+                                    F.col("n_sub")).cast("int"))
+            .drop("bucket_size")
+        )
+        blocks = F.transform(
+            F.sequence(F.lit(0), F.col("n_sub") - 1),
+            lambda k: F.struct(
+                F.least(F.col("u"), k).alias("bu"),
+                F.greatest(F.col("u"), k).alias("bv"),
+            ),
+        )
+        b = b.select(*key, "id", "val", "max_ham", "u",
+                     F.explode(blocks).alias("blk")) \
+             .select(*key, "id", "val", "max_ham", "u",
+                     F.col("blk.bu").alias("bu"), F.col("blk.bv").alias("bv"))
+        jkey = key + ["bu", "bv"]
+        left = (b.where(F.col("u") == F.col("bu"))
+                .select(*jkey, F.col("id").alias("id_l"),
+                        F.col("val").alias("val_l"), "max_ham"))
+        right = (b.where(F.col("u") == F.col("bv"))
+                 .select(*jkey, F.col("id").alias("id_r"),
+                         F.col("val").alias("val_r")))
+        # diagonal blocks pair a sub-bucket with itself: dedup by id
+        # order. Cross blocks meet each pair exactly once by
+        # construction — id order there is canonicalized AFTER the join
+        # (a legit pair may arrive as id_l > id_r).
+        pair_filter = (F.col("bu") != F.col("bv")) | (
+            F.col("id_l") < F.col("id_r"))
     else:
         b = b.drop("bucket_size")
+        jkey = key
+        left = b.select(*jkey, F.col("id").alias("id_l"),
+                        F.col("val").alias("val_l"), "max_ham")
+        right = b.select(*jkey, F.col("id").alias("id_r"),
+                         F.col("val").alias("val_r"))
+        pair_filter = F.col("id_l") < F.col("id_r")
 
-    left = b.select(*key, F.col("id").alias("id_l"),
-                    F.col("val").alias("val_l"), "max_ham")
-    right = b.select(*key, F.col("id").alias("id_r"),
-                     F.col("val").alias("val_r"))
-    dist = F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
     joined = (
-        left.join(right, key, "inner")
-        .where(F.col("id_l") < F.col("id_r"))
+        left.join(right, jkey, "inner")
+        .where(pair_filter)
         .where(dist <= F.col("max_ham"))
     )
+    out_cols = [
+        F.least("id_l", "id_r").alias("id_l"),
+        F.greatest("id_l", "id_r").alias("id_r"),
+        "family",
+    ]
+    if with_distance:
+        out_cols.append(dist.alias("dist"))
+    joined = joined.select(*out_cols)
     aggs = [F.collect_set("family").alias("families")]
     if with_distance:
-        joined = joined.withColumn("dist", dist)
         aggs.append(F.min("dist").alias("dist"))
     pairs = joined.groupBy("id_l", "id_r").agg(*aggs)
     return pairs, dropped

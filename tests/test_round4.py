@@ -119,6 +119,11 @@ def _hamming(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
 
 
+def _i64(v: int) -> int:
+    v &= 0xFFFFFFFFFFFFFFFF
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def test_hamming_hot_bucket_pigeonhole_pair_survives_salting(spark):
     """A pair at Hamming = n_bands-1 shares exactly ONE band bucket
     (pigeonhole). If that bucket is hot (1,000 members > max_bucket_size
@@ -143,7 +148,7 @@ def test_hamming_hot_bucket_pigeonhole_pair_survives_salting(spark):
     while len(rows) < 1002:
         hi = int(rng.integers(0, 1 << 48))
         if all(_hamming(hi << 16, s << 16) > 8 for s in seen):
-            rows.append((f"fill{i:04d}", (hi << 16) | 0x1234))
+            rows.append((f"fill{i:04d}", _i64((hi << 16) | 0x1234)))
             seen.add(hi)
             i += 1
     df = spark.createDataFrame(rows, "id string, fp long")
@@ -167,10 +172,10 @@ def test_hamming_triangle_blocks_equal_unsalted_ground_truth(spark):
     )
 
     rng = np.random.default_rng(7)
-    fps = [(f"r{i:03d}", (int(rng.integers(0, 1 << 44)) << 20) | 0xBEEF0 | 0)
+    fps = [(f"r{i:03d}", _i64(int(rng.integers(0, 1 << 44)) << 20))
            for i in range(300)]
     # same low-16 bucket for band 0; random elsewhere
-    fps = [(rid, (v & ~0xFFFF) | 0x00FF) for rid, v in fps]
+    fps = [(rid, _i64((v & ~0xFFFF) | 0x00FF)) for rid, v in fps]
     truth = {
         (a, b)
         for i, (a, va) in enumerate(fps)
