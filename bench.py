@@ -148,6 +148,22 @@ def main() -> None:
     stage_counts["audio_dedup"] = _stage_count(spark, "audio_dedup")
     adf.unpersist()
 
+    # ---- video near-dup over real MJPEG-AVI blobs (zero-transcode
+    # frame sampling + batched-LUT JPEG decode of sampled frames) ------
+    from deduper_spark.operators.multimodal import video_dedup_pairs
+    from deduper_spark.synth import make_video_df
+
+    n_video = max(200, int(sf * 10_000))
+    vdf = make_video_df(spark, seed=42, n=n_video).persist()
+    vdf.count()  # synth outside the timed window (decode IS timed)
+    spark.sparkContext.setJobGroup("video_dedup", "video_dedup")
+    t0 = time.time()
+    _force(video_dedup_pairs(vdf, every_n=2))
+    video_sec = round(time.time() - t0, 3)
+    timings["video_dedup"] = video_sec
+    stage_counts["video_dedup"] = _stage_count(spark, "video_dedup")
+    vdf.unpersist()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total",
@@ -159,6 +175,8 @@ def main() -> None:
         "images_per_sec": round(n_images / image_sec, 1),
         "audio_clips": n_audio,
         "audio_clips_per_sec": round(n_audio / audio_sec, 1),
+        "video_clips": n_video,
+        "video_clips_per_sec": round(n_video / video_sec, 1),
         "cpus": cpus,
         "aqe": not no_aqe,
         "stages": stage_counts,

@@ -38,16 +38,54 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
-    """(h, w, 3) uint8 -> deterministic PNG bytes (filter 0 rows)."""
+def encode_png(pixels: np.ndarray, level: int = 6,
+               filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> deterministic PNG bytes.
+
+    ``filter_type`` (0..4, RFC 2083 §6) is applied to EVERY scanline.
+    The default 0 (None) is the engine corpus path; 1-4 (Sub/Up/
+    Average/Paeth) exist to build FOREIGN-encoder fixtures — libpng
+    defaults to adaptive filtering that is Paeth-heavy, so tests use
+    filter_type=4 streams to exercise and measure the per-row decode
+    cost real-web PNGs pay. All filter math is vectorized (predictors
+    read ORIGINAL neighbor bytes, which equal the reconstructed ones)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
         raise ValueError("encode_png expects (h, w, 3) uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unsupported PNG filter type {filter_type}")
     h, w, _ = pixels.shape
+    bpp = 3
+    stride = w * bpp
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
-    # one filter byte (0 = None) per scanline, then raw RGB
-    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = pixels.reshape(h, w * 3)
+    # one filter byte per scanline, then the filtered RGB bytes
+    raw = np.empty((h, 1 + stride), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    px = pixels.reshape(h, stride)
+    if filter_type == 0:
+        raw[:, 1:] = px
+    else:
+        p16 = px.astype(np.int16)
+        prev = np.zeros_like(p16)
+        prev[1:] = p16[:-1]
+        left = np.zeros_like(p16)
+        left[:, bpp:] = p16[:, :-bpp]
+        if filter_type == 1:      # Sub
+            f = p16 - left
+        elif filter_type == 2:    # Up
+            f = p16 - prev
+        elif filter_type == 3:    # Average
+            f = p16 - ((left + prev) >> 1)
+        else:                     # Paeth
+            ul = np.zeros_like(p16)
+            ul[:, bpp:] = prev[:, :-bpp]
+            p = left + prev - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            f = p16 - pred
+        raw[:, 1:] = (f % 256).astype(np.uint8)
     idat = zlib.compress(raw.tobytes(), level)
     return (
         PNG_SIGNATURE
@@ -59,43 +97,76 @@ def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
 
 def _unfilter(filtered: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
     """Undo per-scanline filters. Rows: (h, 1 + w*bpp) with the filter
-    byte leading each row. Sub is a vectorized per-lane cumsum mod 256;
-    Up is a running row accumulation; Average/Paeth fall back to a
-    per-pixel loop (rare in practice; our encoder never emits them)."""
+    byte leading each row.
+
+    Vectorization by filter-run: consecutive None rows are one bulk
+    copy and consecutive Up rows are one uint8 (mod-256) cumsum over
+    the row axis — the engine's own encoder emits only those, so the
+    bench corpus decodes with zero per-row Python. Sub is a per-lane
+    uint8 cumsum. Average/Paeth carry a true sequential dependence
+    along x (recon[x] needs recon[x-bpp]), so they run as per-row
+    Python-list loops — native ints, not NumPy scalar indexing, which
+    measures ~10x faster; real-web (libpng) PNGs are Paeth-heavy, so
+    this is the foreign-blob cost path and is covered by the
+    filtered-encoder fixtures in tests."""
     stride = w * bpp
+    ftypes = filtered[:, 0]
+    if ftypes.size and int(ftypes.max()) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"unknown PNG filter type {bad}")
+    data = filtered[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):
-        ftype = int(filtered[y, 0])
-        row = filtered[y, 1:].astype(np.int64)
-        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(stride,
-                                                                 dtype=np.int64)
-        if ftype == 0:  # None
-            out[y] = row.astype(np.uint8)
-        elif ftype == 1:  # Sub: recon[x] = row[x] + recon[x - bpp]
-            lanes = row.reshape(w, bpp)
-            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(
-                np.uint8).reshape(stride)
-        elif ftype == 2:  # Up
-            out[y] = ((row + prev) % 256).astype(np.uint8)
-        elif ftype == 3:  # Average
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                left = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (row[x] + (left + prev[x]) // 2) % 256
-            out[y] = rec.astype(np.uint8)
-        elif ftype == 4:  # Paeth
-            rec = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
+    y = 0
+    while y < h:
+        ft = int(ftypes[y])
+        if ft == 0:  # None — bulk-copy the whole run of 0-rows
+            y2 = y + 1
+            while y2 < h and ftypes[y2] == 0:
+                y2 += 1
+            out[y:y2] = data[y:y2]
+            y = y2
+        elif ft == 2:  # Up — run of 2-rows is a mod-256 row cumsum
+            y2 = y + 1
+            while y2 < h and ftypes[y2] == 2:
+                y2 += 1
+            acc = np.cumsum(data[y:y2], axis=0, dtype=np.uint8)
+            if y > 0:
+                acc += out[y - 1]          # uint8 wraparound = mod 256
+            out[y:y2] = acc
+            y = y2
+        elif ft == 1:  # Sub: recon[x] = row[x] + recon[x - bpp]
+            lanes = data[y].reshape(w, bpp)
+            out[y] = np.cumsum(lanes, axis=0,
+                               dtype=np.uint8).reshape(stride)
+            y += 1
+        elif ft == 3:  # Average
+            row = data[y].tolist()
+            prev = out[y - 1].tolist() if y > 0 else [0] * stride
+            rec = [0] * stride
+            for x in range(bpp):
+                rec[x] = (row[x] + (prev[x] >> 1)) & 255
+            for x in range(bpp, stride):
+                rec[x] = (row[x] + ((rec[x - bpp] + prev[x]) >> 1)) & 255
+            out[y] = rec
+            y += 1
+        else:  # Paeth
+            row = data[y].tolist()
+            prev = out[y - 1].tolist() if y > 0 else [0] * stride
+            rec = [0] * stride
+            for x in range(bpp):
+                rec[x] = (row[x] + prev[x]) & 255   # a=c=0 -> pred=b
+            for x in range(bpp, stride):
+                a = rec[x - bpp]
                 b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (row[x] + pred) % 256
-            out[y] = rec.astype(np.uint8)
-        else:
-            raise ValueError(f"unknown PNG filter type {ftype}")
+                c = prev[x - bpp]
+                pa = abs(b - c)
+                pb = abs(a - c)
+                pc = abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                rec[x] = (row[x] + pred) & 255
+            out[y] = rec
+            y += 1
     return out
 
 

@@ -249,3 +249,67 @@ def test_streaming_vs_batch_chained_dup_parity_boundary(spark, tmp_path):
     # the dropped B is not in the ledger). THE divergence, pinned:
     assert stream_survivors == {"A", "C"}
     assert stream_survivors != batch_survivors
+
+
+# ------------------------------------------------------------------
+# PNG foreign-encoder (filtered scanline) fixtures + unfilter parity
+# ------------------------------------------------------------------
+
+def test_png_all_filter_types_roundtrip():
+    """Foreign-encoder fixtures: every RFC 2083 filter type (incl.
+    libpng-favored Paeth) encodes and decodes back to identical pixels,
+    so the foreign-blob decode path is exercised, not just isolated."""
+    from deduper_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    # gradient + noise: representative filter deltas, not degenerate
+    grad = np.linspace(0, 255, 48 * 37 * 3).reshape(48, 37, 3)
+    px = np.clip(grad + rng.normal(0, 12, grad.shape),
+                 0, 255).astype(np.uint8)
+    for ft in (0, 1, 2, 3, 4):
+        buf = encode_png(px, filter_type=ft)
+        got = decode_png(buf)
+        assert np.array_equal(got, px), f"filter {ft} roundtrip broken"
+
+
+def test_png_mixed_filter_runs_roundtrip():
+    """Streams mixing per-row filter types (real adaptive encoders do)
+    must reconstruct exactly — covers run boundaries of the run-length
+    vectorized unfilter (None/Up runs abutting Paeth rows)."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from deduper_spark.functions.png import (
+        PNG_SIGNATURE,
+        _chunk,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (40, 23, 3)).astype(np.uint8)
+    # build filtered scanlines row-by-row with a fixed filter pattern by
+    # reusing the vectorized single-filter encoder per row (predictors
+    # only look one row back, so row-local re-encode is exact)
+    pattern = [0, 0, 2, 2, 2, 4, 3, 1, 2, 0]
+    h, w, _ = px.shape
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    for y in range(h):
+        ft = pattern[y % len(pattern)]
+        two = px[max(y - 1, 0):y + 1]
+        if y == 0:
+            two = px[0:1]
+        sub = encode_png(np.ascontiguousarray(two), filter_type=ft)
+        # decode the filtered bytes of the LAST row of the 2-row image
+        # from its IDAT (deterministic layout: len+IHDR, len+IDAT ...)
+        pos = 8 + 12 + 13                     # sig + IHDR chunk
+        (ln,) = _struct.unpack(">I", sub[pos:pos + 4])
+        idat = _zlib.decompress(sub[pos + 8:pos + 8 + ln])
+        rows = np.frombuffer(idat, np.uint8).reshape(two.shape[0],
+                                                     1 + w * 3)
+        raw[y] = rows[-1]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    buf = (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+           + _chunk(b"IDAT", _zlib.compress(raw.tobytes(), 6))
+           + _chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(buf), px)
