@@ -29,13 +29,19 @@ retried batch replaces its own partitions and can never see its own
 partial write — same contract as streaming/incremental.py.
 
 Scale note: the ledger join is an equi-join on (band, bucket), hash-
-partitioned; hot buckets (near-constant images) fan out linearly in
-ledger bucket size. Production would bolt the sizing-agg + salt/cap
-path from candidate_pairs onto the ledger side; at this module's
-scope the fan-out is bounded by documenting max_hamming-tight bands
-(band_bits=16 → 4 bands x 2^16 buckets; pigeonhole guarantees recall
-for Hamming <= n_bands-1 = 3, the default max_hamming — same banding
-contract as the batch pipeline's phash path).
+partitioned, with the SAME sizing/salt/cap guard family as the batch
+candidate path (operators/lsh.py): each batch sizes the ledger's
+buckets once; buckets over ``max_bucket_size`` are salted — ledger
+rows get pmod(xxhash64(val), n_sub) and each probing batch row
+replicates across all n_sub salts, so the match test stays EXACT
+while per-task fan-in is bounded by ~max_bucket_size; buckets over
+``ledger_bucket_cap`` are stop-patterns (a 16-bit band value shared
+by 20k+ mutually-distant survivors), dropped from the join and
+METERED via ``on_metrics`` — a batch row whose only shared band is
+capped is admitted (bounded, reported recall trade — identical
+policy to candidate_pairs' salt_cap). Banding contract unchanged:
+band_bits=16 → 4 bands x 2^16 buckets; pigeonhole guarantees recall
+for Hamming <= n_bands-1 = 3, the default max_hamming.
 """
 
 from __future__ import annotations
@@ -65,8 +71,15 @@ def stream_fuzzy_dedup(
     max_hamming: int = 3,
     band_bits: int = 16,
     available_now: bool = True,
+    max_bucket_size: int = 200,
+    ledger_bucket_cap: int = 20_000,
+    on_metrics=None,
 ):
-    """Start (and return) the streaming query. See module docstring."""
+    """Start (and return) the streaming query. See module docstring.
+
+    ``on_metrics(dict)`` (optional) is invoked once per non-empty batch
+    with the ledger-guard accounting: {batch_id, ledger_salted_buckets,
+    ledger_dropped_buckets, ledger_dropped_rows}."""
     from pyspark.errors import AnalysisException
 
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
@@ -90,13 +103,51 @@ def stream_fuzzy_dedup(
         bands = _band_rows(base, id_col, "_fp", band_bits, max_hamming)
 
         ham = F.bit_count(F.col("val").bitwiseXOR(F.col("val_r")))
-        # vs ledger: drop any batch row within t of ANY prior row
+        # vs ledger: drop any batch row within t of ANY prior row.
+        # Guarded join (module docstring "Scale note"): size the
+        # ledger's buckets, salt hot ones (exact — batch rows probe
+        # every salt), drop + meter stop-pattern buckets over the cap.
+        sizes = None
         try:
             ledger = (s.read.parquet(ledger_dir)
                       .where(F.col("batch_id") < batch_id)
                       .select("band", "bucket",
                               F.col("val").alias("val_r")))
-            seen_ids = (bands.join(ledger, ["band", "bucket"])
+            sizes = (ledger.groupBy("band", "bucket")
+                     .agg(F.count("*").alias("lsz")).persist())
+            lsz = F.col("lsz")
+            stats = sizes.agg(
+                F.coalesce(F.sum(F.when(
+                    lsz > ledger_bucket_cap, 1).otherwise(0)),
+                    F.lit(0)).alias("dropped_buckets"),
+                F.coalesce(F.sum(F.when(
+                    lsz > ledger_bucket_cap, lsz).otherwise(0)),
+                    F.lit(0)).alias("dropped_rows"),
+                F.coalesce(F.sum(F.when(
+                    (lsz > max_bucket_size)
+                    & (lsz <= ledger_bucket_cap), 1).otherwise(0)),
+                    F.lit(0)).alias("salted_buckets"),
+            ).collect()[0]
+            if on_metrics is not None:
+                on_metrics({
+                    "batch_id": batch_id,
+                    "ledger_salted_buckets": int(stats["salted_buckets"]),
+                    "ledger_dropped_buckets": int(stats["dropped_buckets"]),
+                    "ledger_dropped_rows": int(stats["dropped_rows"]),
+                })
+            admitted = sizes.where(lsz <= ledger_bucket_cap)
+            n_sub = F.greatest(
+                F.ceil(lsz / F.lit(max_bucket_size)), F.lit(1)
+            ).cast("int")
+            led = (ledger.join(admitted, ["band", "bucket"])
+                   .withColumn("salt", F.pmod(F.xxhash64("val_r"),
+                                              n_sub).cast("int"))
+                   .drop("lsz"))
+            probes = (bands.join(admitted, ["band", "bucket"])
+                      .withColumn("salt", F.explode(
+                          F.sequence(F.lit(0), n_sub - 1)))
+                      .drop("lsz"))
+            seen_ids = (probes.join(led, ["band", "bucket", "salt"])
                         .where(ham <= max_hamming)
                         .select(F.col("id").alias(id_col)).distinct())
         except AnalysisException as exc:
@@ -129,6 +180,9 @@ def stream_fuzzy_dedup(
 
         fresh = fresh.localCheckpoint()    # pins the anti-join; feeds
         #                                    banding AND the final join
+        if sizes is not None:
+            sizes.unpersist()   # the ledger-guard joins are pinned in
+            #                     `fresh` now; the sizing cache is done
         fb = _band_rows(fresh, id_col, "_fp", band_bits, max_hamming)
         pairs, _dropped = hamming_candidate_pairs(fb)
         comps = connected_components(pairs.select("id_l", "id_r"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from deduper_spark.functions.phash import decode_image, phash64
+from deduper_spark.functions.phash import decode_image, encode_image, phash64
 from deduper_spark.functions.png import encode_png
 
 IMG = 64          # base image side (pixels)
@@ -95,10 +95,20 @@ def _caption_tokens(seed: int, base_i: int) -> list[str]:
     return [_VOCAB[j] for j in idx]
 
 
-def make_row(seed: int, i: int, lossy_fmt: str = "png") -> dict:
+def make_row(seed: int, i: int, lossy_fmt: str = "png",
+             container: str = "png") -> dict:
+    """``container`` picks the lossless wrapper for base/exact/caption/
+    substring rows: "png" (default — real RFC 2083 blobs, zlib decode
+    cost) or "dspk" (the engine's raw header+RGB container, the
+    round-2 corpus) — the knob exists so the bench can decompose codec
+    decode cost from pipeline cost on otherwise identical corpora."""
+    if container not in ("png", "dspk"):
+        raise ValueError(f"unsupported container {container!r}")
     base_i, klass = _base_index(i)
     pixels = _pixels(seed, base_i)
     tokens = _caption_tokens(seed, base_i)
+    enc_lossless = encode_png if container == "png" else encode_image
+    lossless_fmt = container
 
     # every blob is a REAL codec output; role 7's lossy re-encode is
     # either a deterministic quantization (q=2, max abs error 1 ->
@@ -116,26 +126,26 @@ def make_row(seed: int, i: int, lossy_fmt: str = "png") -> dict:
         else:
             quant = ((pixels.astype(np.uint16) + 1) // 2 * 2)
             quant = np.clip(quant, 0, 255).astype(np.uint8)
-            buf = encode_png(quant)
-            fmt = "png"
+            buf = enc_lossless(quant)
+            fmt = lossless_fmt
         ph = phash64(decode_image(buf))
         caption = " ".join(tokens)
     elif klass == "caption_near":
-        buf = encode_png(pixels)
-        fmt = "png"
+        buf = enc_lossless(pixels)
+        fmt = lossless_fmt
         ph = phash64(pixels)
         extra = _caption_tokens(seed, i)[:2]
         caption = " ".join(tokens + extra)          # append → high Jaccard
     elif klass == "substring":
-        buf = encode_png(pixels)
-        fmt = "png"
+        buf = enc_lossless(pixels)
+        fmt = lossless_fmt
         ph = phash64(pixels)
         pre = _caption_tokens(seed, i)[:6]
         post = _caption_tokens(seed, i)[6:12]
         caption = " ".join(pre) + " " + " ".join(tokens) + " " + " ".join(post)
     else:  # base / exact
-        buf = encode_png(pixels)
-        fmt = "png"
+        buf = enc_lossless(pixels)
+        fmt = lossless_fmt
         ph = phash64(pixels)
         caption = " ".join(tokens)
 
@@ -151,8 +161,9 @@ def make_row(seed: int, i: int, lossy_fmt: str = "png") -> dict:
 
 
 def make_pdf(seed: int, n: int, start: int = 0,
-             lossy_fmt: str = "png") -> pd.DataFrame:
-    rows = [make_row(seed, i, lossy_fmt) for i in range(start, start + n)]
+             lossy_fmt: str = "png", container: str = "png") -> pd.DataFrame:
+    rows = [make_row(seed, i, lossy_fmt, container)
+            for i in range(start, start + n)]
     df = pd.DataFrame(rows)
     df["w"] = df["w"].astype("int32")
     df["h"] = df["h"].astype("int32")
@@ -167,7 +178,7 @@ SPARK_SCHEMA = (
 
 
 def make_df(spark, seed: int, n: int, partitions: int | None = None,
-            lossy_fmt: str = "png"):
+            lossy_fmt: str = "png", container: str = "png"):
     """Distributed generation: spark.range → mapInPandas(make_row).
 
     This is how the bench input is produced — the generator itself
@@ -180,7 +191,8 @@ def make_df(spark, seed: int, n: int, partitions: int | None = None,
             for lo in range(0, len(pdf), 2000):
                 ids = pdf["id"].iloc[lo : lo + 2000]
                 yield pd.DataFrame(
-                    [make_row(seed, int(i), lossy_fmt) for i in ids])
+                    [make_row(seed, int(i), lossy_fmt, container)
+                     for i in ids])
 
     return (
         spark.range(0, n, numPartitions=parts)

@@ -313,3 +313,84 @@ def test_png_mixed_filter_runs_roundtrip():
            + _chunk(b"IDAT", _zlib.compress(raw.tobytes(), 6))
            + _chunk(b"IEND", b""))
     assert np.array_equal(decode_png(buf), px)
+
+
+def test_stream_fuzzy_hot_ledger_bucket_guard(spark, tmp_path):
+    """Ledger-join sizing/salt guard (round-3 'What's missing' #3):
+    a hot ledger bucket (many mutually-distant fingerprints sharing one
+    16-bit band value) is salted — the membership test stays exact and
+    metrics report the salting; beyond ledger_bucket_cap the bucket is
+    dropped from the join and a probe whose ONLY shared band is capped
+    is admitted (bounded, metered recall trade)."""
+    import time
+
+    from deduper_spark.streaming.fuzzy import stream_fuzzy_dedup
+
+    schema = "image_id string, phash long"
+
+    def wait(q):
+        q.awaitTermination(180)
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+
+    # 300 fingerprints sharing band-0 bucket 0x00AB, mutually far apart
+    rng = np.random.default_rng(11)
+    fills, seen = [], set()
+    while len(fills) < 300:
+        hi = int(rng.integers(0, 1 << 48))
+        if all(_hamming(hi, s) > 8 for s in seen):
+            fills.append(_i64((hi << 16) | 0x00AB))
+            seen.add(hi)
+    flood = [(f"f{i:04d}", fp) for i, fp in enumerate(fills)]
+
+    # ---- salted regime: bucket 300 > max_bucket_size 50, under cap
+    src = tmp_path / "src1"
+    src.mkdir()
+    metrics = []
+    args = dict(max_bucket_size=50, ledger_bucket_cap=10_000,
+                on_metrics=metrics.append)
+    spark.createDataFrame(flood, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    a = (spark, str(src), schema, str(tmp_path / "t1"),
+         str(tmp_path / "l1"), str(tmp_path / "c1"), "image_id", "phash")
+    wait(stream_fuzzy_dedup(*a, **args))
+    assert spark.read.parquet(str(tmp_path / "t1")).count() == 300
+
+    # batch 2: exact dup of one flood row -> must still be dropped
+    # (salted join is exact), and metrics must show the hot bucket
+    spark.createDataFrame([("dup1", flood[7][1])], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    wait(stream_fuzzy_dedup(*a, **args))
+    assert spark.read.parquet(str(tmp_path / "t1")).count() == 300
+    assert metrics[-1]["ledger_salted_buckets"] >= 1
+    assert metrics[-1]["ledger_dropped_buckets"] == 0
+
+    # ---- capped regime: same flood, cap 100 < bucket size 300
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    metrics2 = []
+    args2 = dict(max_bucket_size=50, ledger_bucket_cap=100,
+                 on_metrics=metrics2.append)
+    spark.createDataFrame(flood, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src2))
+    a2 = (spark, str(src2), schema, str(tmp_path / "t2"),
+          str(tmp_path / "l2"), str(tmp_path / "c2"), "image_id", "phash")
+    wait(stream_fuzzy_dedup(*a2, **args2))
+
+    # probe at Hamming 3 from flood[0] with all differing bits in bands
+    # 1..3 -> ONLY shared band is the capped band-0 bucket -> admitted
+    near = _i64(flood[0][1] ^ (1 << 16) ^ (1 << 32) ^ (1 << 48))
+    # and an exact dup of flood[1]: shares band-1..3 buckets (cold ones,
+    # each holding just its base row) -> still dropped despite the cap
+    spark.createDataFrame([("edge1", near), ("dup2", flood[1][1])],
+                          schema).coalesce(1) \
+        .write.mode("append").parquet(str(src2))
+    wait(stream_fuzzy_dedup(*a2, **args2))
+    ids = {r["image_id"]
+           for r in spark.read.parquet(str(tmp_path / "t2")).collect()}
+    assert "edge1" in ids            # metered recall trade at the cap
+    assert "dup2" not in ids         # cold-band membership still exact
+    assert metrics2[-1]["ledger_dropped_buckets"] >= 1
+    assert metrics2[-1]["ledger_dropped_rows"] >= 300
