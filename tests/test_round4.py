@@ -394,3 +394,29 @@ def test_stream_fuzzy_hot_ledger_bucket_guard(spark, tmp_path):
     assert "dup2" not in ids         # cold-band membership still exact
     assert metrics2[-1]["ledger_dropped_buckets"] >= 1
     assert metrics2[-1]["ledger_dropped_rows"] >= 300
+
+
+def test_jvm_image_source_pixel_parity_and_isolation(spark, tmp_path):
+    """The JVM decode seam is executed, not just documented: Spark's
+    built-in `image` source (javax.imageio) decodes engine-encoded
+    PNGs — including a Paeth-filtered one — to EXACTLY the same pixels
+    as the engine's own RFC 2083 decoder (modulo the source's BGR
+    layout), and undecodable files drop at the source (the seam's
+    analogue of decode_ok=false)."""
+    from deduper_spark.functions.png import encode_png
+    from deduper_spark.sources.readers import read_image_source
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (32, 24, 3)).astype(np.uint8)
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "plain.png").write_bytes(encode_png(px))
+    (d / "paeth.png").write_bytes(encode_png(px, filter_type=4))
+    (d / "poison.png").write_bytes(b"\x89PNG\r\n\x1a\nGARBAGE")
+
+    rows = read_image_source(spark, str(d)).collect()
+    assert len(rows) == 2                      # poison dropped at seam
+    for r in rows:
+        assert (r["h"], r["w"], r["nchannels"]) == (32, 24, 3)
+        arr = np.frombuffer(bytes(r["data"]), np.uint8).reshape(32, 24, 3)
+        assert np.array_equal(arr[..., ::-1], px), r["origin"]  # BGR
