@@ -74,12 +74,20 @@ def stream_fuzzy_dedup(
     max_bucket_size: int = 200,
     ledger_bucket_cap: int = 20_000,
     on_metrics=None,
+    dropped_dir: str | None = None,
 ):
     """Start (and return) the streaming query. See module docstring.
 
     ``on_metrics(dict)`` (optional) is invoked once per non-empty batch
     with the ledger-guard accounting: {batch_id, ledger_salted_buckets,
-    ledger_dropped_buckets, ledger_dropped_rows}."""
+    ledger_dropped_buckets, ledger_dropped_rows}.
+
+    ``dropped_dir`` (optional): persist each dropped row's (id,
+    fingerprint, batch_id) — 16 bytes of BRIDGE EVIDENCE per discarded
+    row, no payload. compact_streaming_output then merges retained rows
+    whose only connection ran through dropped rows (the chained-dup
+    divergence), converging the stream to the batch pipeline's
+    clustering."""
     from pyspark.errors import AnalysisException
 
     stream = spark.readStream.schema(source_schema).parquet(source_dir)
@@ -197,8 +205,20 @@ def stream_fuzzy_dedup(
                      .select("band", "bucket", "val",
                              F.col("id").alias(id_col))
                      .withColumn("batch_id", F.lit(batch_id)))
-        for cols, path in ((survivors.drop("_fp"), target_dir),
-                           (out_bands, ledger_dir)):
+        sinks = [(survivors.drop("_fp"), target_dir),
+                 (out_bands, ledger_dir)]
+        if dropped_dir is not None:
+            # bridge evidence: every ORIGINAL batch row that did not
+            # survive (ledger-dropped or within-batch non-minimal),
+            # id + fingerprint only
+            dropped_rows = (base
+                            .join(survivors.select(id_col),
+                                  id_col, "left_anti")
+                            .select(id_col,
+                                    F.col("_fp").alias(fingerprint_col))
+                            .withColumn("batch_id", F.lit(batch_id)))
+            sinks.append((dropped_rows, dropped_dir))
+        for cols, path in sinks:
             (cols.write.mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("batch_id").parquet(path))
@@ -208,3 +228,71 @@ def stream_fuzzy_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_streaming_output(
+    spark: SparkSession,
+    target_dir: str,
+    id_col: str,
+    fingerprint_col: str,
+    max_hamming: int = 3,
+    band_bits: int = 16,
+    dropped_dir: str | None = None,
+) -> DataFrame:
+    """Periodic batch re-clustering of a fuzzy stream's output — the
+    documented closure for the streaming-vs-batch divergence on
+    chained duplicates (module docstring: no cross-batch transitive
+    closure in the per-arrival filter).
+
+    Runs the SAME machinery as the batch pipeline (int64 banding ->
+    hamming_candidate_pairs -> connected components) over the retained
+    rows UNIONED with the dropped-row bridge evidence (id +
+    fingerprint, written when the stream ran with ``dropped_dir``).
+    A chain A~B~C ingested across micro-batches retains {A, C} online
+    (B, the bridge, was dropped and is not in the target); with B's
+    fingerprint as evidence the component {A, B, C} reassembles and
+    the compacted output keeps only A. Per component the survivor is
+    the MIN-ID RETAINED row — compaction merges, it never resurrects
+    (dropped payloads are gone by design); with monotonically assigned
+    ingest ids (the standard case) that equals the one-shot batch
+    pipeline's keep-first result, pinned by test. Without
+    ``dropped_dir`` the pass still merges retained rows that are
+    directly within Hamming t of each other. Intended cadence:
+    periodic (nightly) — the reference's rebuild-the-ledger role
+    (Deduper.kt:135-158) generalized to fuzzy keys."""
+    from pyspark.errors import AnalysisException
+
+    from deduper_spark.operators.cc import connected_components
+    from deduper_spark.operators.lsh import hamming_candidate_pairs
+
+    retained = spark.read.parquet(target_dir)
+    nodes = retained.select(F.col(id_col).alias("id"),
+                            F.col(fingerprint_col).alias("_fp"))
+    if dropped_dir is not None:
+        try:
+            bridges = (spark.read.parquet(dropped_dir)
+                       .select(F.col(id_col).alias("id"),
+                               F.col(fingerprint_col).alias("_fp")))
+            nodes = nodes.unionByName(bridges)
+        except AnalysisException as exc:
+            probe = getattr(exc, "getCondition",
+                            getattr(exc, "getErrorClass", lambda: ""))
+            cond = str(probe() or "")
+            if ("PATH_NOT_FOUND" not in cond
+                    and "UNABLE_TO_INFER_SCHEMA" not in cond):
+                raise
+            # no dropped rows recorded yet: retained-only compaction
+
+    bands = _band_rows(nodes, "id", "_fp", band_bits, max_hamming)
+    pairs, _dropped = hamming_candidate_pairs(bands)
+    comps = connected_components(pairs.select("id_l", "id_r"))
+    # component rep = min id among RETAINED members (bridges only
+    # connect; they cannot win — their payloads no longer exist)
+    retained_comps = (retained.select(F.col(id_col).alias("id"))
+                      .join(comps, "id", "left")
+                      .withColumn("cluster_id",
+                                  F.coalesce("cluster_id", F.col("id"))))
+    reps = (retained_comps.groupBy("cluster_id")
+            .agg(F.min("id").alias("rep")))
+    keep = reps.select(F.col("rep").alias(id_col))
+    return retained.join(keep, id_col, "left_semi")

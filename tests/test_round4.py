@@ -420,3 +420,58 @@ def test_jvm_image_source_pixel_parity_and_isolation(spark, tmp_path):
         assert (r["h"], r["w"], r["nchannels"]) == (32, 24, 3)
         arr = np.frombuffer(bytes(r["data"]), np.uint8).reshape(32, 24, 3)
         assert np.array_equal(arr[..., ::-1], px), r["origin"]  # BGR
+
+
+def test_compact_streaming_output_converges_to_batch(spark, tmp_path):
+    """After the periodic batch compaction pass, the streaming target
+    equals the one-shot batch result on the same corpus — the chained
+    A~B~C divergence (previous test) is merged back."""
+    import time
+
+    from deduper_spark.streaming.fuzzy import (
+        compact_streaming_output,
+        stream_fuzzy_dedup,
+    )
+
+    A = 0x0F0F0F0F0F0F0F0F
+    B = A ^ 0b111
+    C = B ^ (0b111 << 20)
+    schema = "image_id string, phash long"
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def wait(q):
+        q.awaitTermination(120)
+        for _ in range(100):
+            if not q.isActive:
+                return
+            time.sleep(0.2)
+
+    args = (spark, str(src), schema, str(tmp_path / "tgt"),
+            str(tmp_path / "ledger"), str(tmp_path / "ckpt"),
+            "image_id", "phash")
+    dropped_dir = str(tmp_path / "dropped")
+    for rid, fp in (("A", A), ("B", B), ("C", C)):
+        spark.createDataFrame([(rid, fp)], schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        wait(stream_fuzzy_dedup(*args, dropped_dir=dropped_dir))
+    online = {r["image_id"] for r in
+              spark.read.parquet(str(tmp_path / "tgt")).collect()}
+    assert online == {"A", "C"}                # divergence, as pinned
+
+    # the bridge evidence holds exactly the dropped row B (id + fp)
+    dropped = spark.read.parquet(dropped_dir).collect()
+    assert {(r["image_id"], r["phash"]) for r in dropped} == {("B", B)}
+
+    # with the bridge, compaction reassembles {A,B,C} and keeps A only
+    compacted = compact_streaming_output(
+        spark, str(tmp_path / "tgt"), "image_id", "phash",
+        dropped_dir=dropped_dir)
+    assert {r["image_id"] for r in compacted.collect()} == {"A"}
+    assert set(compacted.columns) == {"image_id", "phash", "batch_id"}
+
+    # without the bridge the retained rows are not within t of each
+    # other -> retained-only compaction keeps both (documented limit)
+    partial = compact_streaming_output(
+        spark, str(tmp_path / "tgt"), "image_id", "phash")
+    assert {r["image_id"] for r in partial.collect()} == {"A", "C"}
