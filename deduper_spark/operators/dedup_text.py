@@ -121,7 +121,13 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     would silently split true pairs; an over-cap prefix is a stop-
     pattern, not a duplicate signal. Dropped blocks are returned
     (``return_dropped=True`` -> (pairs, dropped(block, block_size))) so
-    the caller can meter skipped work, matching candidate_pairs."""
+    the caller can meter skipped work, matching candidate_pairs.
+
+    NOTE ``max_block_size`` is ALSO the task-size knob: an admitted
+    block pairs quadratically inside one task (worst case
+    max_block_size²/2 ≈ 2M gram-set comparisons at the default 2000).
+    Lower it to bound task wall-time on wide-shingle corpora; raise it
+    only with matching executor headroom."""
     feats = (
         df.select(F.col(id_col).alias("id"), normalize_expr(text_col).alias("t"))
         .withColumn("toks", F.split("t", " "))
