@@ -475,3 +475,72 @@ def test_compact_streaming_output_converges_to_batch(spark, tmp_path):
     partial = compact_streaming_output(
         spark, str(tmp_path / "tgt"), "image_id", "phash")
     assert {r["image_id"] for r in partial.collect()} == {"A", "C"}
+
+
+# ------------------------------------------------------------------
+# Fuzz the round-4 fast decoders: truncation / corruption must remain
+# ValueError (the mapInPandas isolation contract), never IndexError
+# from the new LUT/peek paths.
+# ------------------------------------------------------------------
+
+def _sample_jpeg() -> bytes:
+    from deduper_spark.functions.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+    return encode_jpeg(img, quality=90)
+
+
+def test_jpeg_truncated_entropy_raises_valueerror():
+    from deduper_spark.functions.jpeg import decode_jpeg
+
+    buf = _sample_jpeg()
+    # cut inside the entropy stream at many depths
+    for cut in (len(buf) - 3, len(buf) - 50, len(buf) // 2 + 40):
+        with pytest.raises(ValueError):
+            decode_jpeg(buf[:cut])
+
+
+def test_jpeg_bitflip_corruption_isolates():
+    """Flipping bytes inside the entropy stream must decode (to wrong
+    pixels) or raise ValueError — never IndexError/KeyError from the
+    LUT fast path."""
+    from deduper_spark.functions.jpeg import decode_jpeg
+
+    buf = bytearray(_sample_jpeg())
+    sos = bytes(buf).find(b"\xff\xda")
+    rng = np.random.default_rng(13)
+    for _ in range(40):
+        b2 = bytearray(buf)
+        for pos in rng.integers(sos + 14, len(buf) - 2, size=3):
+            b2[int(pos)] ^= int(rng.integers(1, 255))
+        try:
+            decode_jpeg(bytes(b2))
+        except ValueError:
+            pass
+
+
+def test_png_bitflip_and_truncation_isolate():
+    from deduper_spark.functions.png import decode_png, encode_png
+
+    rng = np.random.default_rng(14)
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    for ft in (0, 4):
+        buf = bytearray(encode_png(px, filter_type=ft))
+        # isolation contract: truncation either raises ValueError or —
+        # when only the IEND tail is cut and the IDAT is complete —
+        # still decodes to the exact pixels; never any other exception
+        for cut in (len(buf) - 5, len(buf) // 2, 20):
+            try:
+                out = decode_png(bytes(buf[:cut]))
+                assert np.array_equal(out, px)
+            except ValueError:
+                pass
+        for _ in range(20):
+            b2 = bytearray(buf)
+            for pos in rng.integers(8, len(buf), size=3):
+                b2[int(pos)] ^= int(rng.integers(1, 255))
+            try:
+                decode_png(bytes(b2))
+            except ValueError:
+                pass
