@@ -197,27 +197,50 @@ def _peek_windows(seg: bytes) -> tuple[list[int], int]:
 
 # ------------------------------------------------------------------ encoder
 
+def _pack_entropy(codes: list[int], lens: list[int]) -> bytes:
+    """One vectorized pass: variable-length codes -> bit array ->
+    packed bytes with T.81 F.1.2.3 stuffing (0x00 after every 0xFF)
+    and 1-bit padding. Bit-identical to the old per-symbol shifter."""
+    if not codes:
+        return b""
+    C = np.asarray(codes, dtype=np.uint64)
+    L = np.asarray(lens, dtype=np.int64)
+    n = int(L.sum())
+    pad = (-n) % 8
+    if pad:
+        C = np.append(C, np.uint64((1 << pad) - 1))
+        L = np.append(L, np.int64(pad))
+        n += pad
+    C &= (np.uint64(1) << L.astype(np.uint64)) - np.uint64(1)
+    starts = np.cumsum(L) - L
+    idx = np.repeat(np.arange(C.size), L)
+    within = np.arange(n) - np.repeat(starts, L)
+    shift = (L[idx] - 1 - within).astype(np.uint64)
+    bits = ((C[idx] >> shift) & np.uint64(1)).astype(np.uint8)
+    stream = np.packbits(bits)
+    ff = np.flatnonzero(stream == 0xFF)
+    if ff.size:
+        stream = np.insert(stream, ff + 1, 0)
+    return stream.tobytes()
+
+
 class _BitWriter:
+    """Symbol collector: write() is two list appends; flush() packs
+    the whole entropy stream in one vectorized pass (_pack_entropy).
+    The old per-symbol shift-and-stuff loop dominated encode time
+    (~12x the LUT decode); the emitted bytes are identical."""
+
     def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
+        self.codes: list[int] = []
+        self.lens: list[int] = []
+        self.out: bytes = b""
 
     def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            self.nbits -= 8
-            byte = (self.acc >> self.nbits) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:       # byte stuffing (T.81 F.1.2.3)
-                self.out.append(0x00)
-        self.acc &= (1 << self.nbits) - 1
+        self.codes.append(code)
+        self.lens.append(length)
 
     def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        self.out = _pack_entropy(self.codes, self.lens)
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -233,7 +256,8 @@ def _magnitude(v: int) -> tuple[int, int]:
 def _encode_blocks(writer: _BitWriter, zz: np.ndarray, dc_codes: dict,
                    ac_codes: dict, prev_dc: int) -> int:
     """Entropy-code one component block (zz: 64 ints, zigzag order)."""
-    dc = int(zz[0])
+    zzl = zz.tolist()      # native ints: the scan loop reads ~64 coeffs
+    dc = zzl[0]
     size, bits = _magnitude(dc - prev_dc)
     code, length = dc_codes[size]
     writer.write(code, length)
@@ -242,11 +266,11 @@ def _encode_blocks(writer: _BitWriter, zz: np.ndarray, dc_codes: dict,
     run = 0
     last_nz = 0
     for k in range(63, 0, -1):
-        if zz[k] != 0:
+        if zzl[k] != 0:
             last_nz = k
             break
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zzl[k]
         if v == 0:
             run += 1
             continue
