@@ -10,8 +10,9 @@ codec decode cost exactly.
 
 Method (memory: host has 2-3x tenant noise): one session, steady-state
 warmup first, then ALTERNATE png/dspk reps and report medians + stage
-counts. Run only when 1-min load < 3 at launch; loadavg recorded at
-completion.
+counts. The script checks /proc/loadavg at launch itself and WARNS
+(does not abort) when the 1-min load is >= 3; both launch and
+completion loadavg land in the JSON so a dirty run is self-labeling.
 
 Usage: python tools/bench_corpus_decomp.py [n_images] [reps]
 """
@@ -29,6 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+    load_at_launch = open("/proc/loadavg").read().split()[:3]
+    if float(load_at_launch[0]) >= 3:
+        print(f"WARNING: 1-min load {load_at_launch[0]} >= 3 at launch; "
+              "medians will carry tenant noise (alternation still makes "
+              "the png-vs-dspk comparison internally valid)",
+              file=sys.stderr)
 
     from deduper_spark.config import DedupConfig, FuzzyConfig
     from deduper_spark.pipeline import DedupPipeline
@@ -95,6 +103,7 @@ def main() -> None:
         "stage_counts": stages,
         "dupe_counts_identical": all(len(v) == 1 for v in dupes.values())
         and dupes["png"] == dupes["dspk"],
+        "load_at_launch": load_at_launch,
         "load_at_end": open("/proc/loadavg").read().split()[:3],
     }
     print(json.dumps(out))
