@@ -182,16 +182,43 @@ def _build_decode_lut(bits: tuple[int, ...],
 
 _POW2_16 = (1 << np.arange(15, -1, -1)).astype(np.uint32)
 
+# lookahead chunk: bit positions per _peek_windows call. The window
+# list is ~36 B/bit of Python ints plus a transient (n, 16) uint32
+# matrix (~64 B/bit) — materializing a whole multi-MB foreign scan at
+# once is ~300-500x the segment size (a 5 MB scan would be ~GBs per
+# concurrent task). 2^20 positions caps that at ~100 MB transient /
+# ~36 MB retained per task regardless of scan size; the engine's own
+# 64px MJPEG frames (a few KB) always fit one chunk, so the hot path
+# refills zero times. Must exceed _REFILL_MARGIN_BITS.
+_PEEK_CHUNK_BITS = 1 << 20
+# refill when fewer than this many window positions remain in the
+# chunk: the decode loop only checks between MCUs, and one MCU is at
+# most 12 blocks (sampling factors <= 2) x ~2 KB/block of entropy
+# bits, well under 32k.
+_REFILL_MARGIN_BITS = 1 << 15
 
-def _peek_windows(seg: bytes) -> tuple[list[int], int]:
-    """All 16-bit lookahead windows of an entropy segment, one per bit
-    position (vectorized: unpackbits + sliding-window dot). The symbol
-    loop then reads any Huffman code or amplitude field as
-    ``peek[p] >> (16 - n)`` — no per-bit Python I/O."""
-    bits = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
-    nbits = int(bits.size)
+
+def _peek_windows(seg: bytes, start: int = 0,
+                  chunk_bits: int | None = None) -> tuple[list[int], int]:
+    """16-bit lookahead windows of an entropy segment for bit
+    positions [start, min(start + chunk_bits, nbits + 1)) (vectorized:
+    unpackbits + sliding-window dot; only the covering bytes are
+    unpacked). The symbol loop then reads any Huffman code or
+    amplitude field as ``peek[p - base] >> (16 - n)`` — no per-bit
+    Python I/O. Positions past the stream read zero-padded windows
+    (truncation surfaces as p > nbits or an invalid-prefix symbol)."""
+    nbits = 8 * len(seg)
+    n_pos = nbits + 1 - start
+    if chunk_bits is not None:
+        n_pos = min(n_pos, chunk_bits)
+    b0 = start // 8
+    b1 = min((start + n_pos + 16 + 7) // 8, len(seg))
+    bits = np.unpackbits(
+        np.frombuffer(seg, dtype=np.uint8, offset=b0, count=b1 - b0))
     padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 16)[:nbits + 1]
+    off = start - 8 * b0
+    win = np.lib.stride_tricks.sliding_window_view(
+        padded, 16)[off:off + n_pos]
     return (win.astype(np.uint32) @ _POW2_16).tolist(), nbits
 
 
@@ -556,7 +583,8 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     pred = {cs: 0 for cs, _, _ in order}
     mcu_idx = 0
     seg_i = 0
-    peek, nbits = _peek_windows(segs[0])
+    peek, nbits = _peek_windows(segs[0], 0, _PEEK_CHUNK_BITS)
+    base = 0
     p = 0
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
@@ -564,22 +592,31 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 seg_i += 1
                 if seg_i >= len(segs):
                     raise ValueError("JPEG missing restart segment")
-                peek, nbits = _peek_windows(segs[seg_i])
+                peek, nbits = _peek_windows(segs[seg_i], 0,
+                                            _PEEK_CHUNK_BITS)
+                base = 0
                 p = 0
                 pred = {cs: 0 for cs, _, _ in order}
+            elif (p - base + _REFILL_MARGIN_BITS > len(peek)
+                    and base + len(peek) < nbits + 1):
+                # chunked lookahead: slide the window list forward so a
+                # multi-MB scan never holds more than one chunk. p only
+                # advances between refills, so p - base stays >= 0.
+                base = p
+                peek, _ = _peek_windows(segs[seg_i], p, _PEEK_CHUNK_BITS)
             for cs, td, ta in order:
                 _cid, hc, vc, _tq = by_id[cs]
                 dc_sym, dc_len = huff[(0, td)]
                 ac_sym, ac_len = huff[(1, ta)]
                 for _b in range(vc * hc):
                     blk = [0] * 64
-                    w = peek[p]
+                    w = peek[p - base]
                     size = dc_sym[w]
                     if size < 0:
                         raise ValueError("invalid JPEG Huffman code")
                     p += dc_len[w]
                     if size:
-                        v = peek[p] >> (16 - size)
+                        v = peek[p - base] >> (16 - size)
                         p += size
                         if v < (1 << (size - 1)):       # T.81 EXTEND
                             v += 1 - (1 << size)
@@ -589,7 +626,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                     blk[0] = pred[cs]
                     k = 1
                     while k < 64:
-                        w = peek[p]
+                        w = peek[p - base]
                         sym = ac_sym[w]
                         if sym < 0:
                             raise ValueError("invalid JPEG Huffman code")
@@ -606,7 +643,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                         k += run
                         if k > 63:
                             raise ValueError("JPEG AC run overflow")
-                        v = peek[p] >> (16 - sz)
+                        v = peek[p - base] >> (16 - sz)
                         p += sz
                         if v < (1 << (sz - 1)):
                             v += 1 - (1 << sz)

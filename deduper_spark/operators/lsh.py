@@ -185,6 +185,16 @@ def hamming_candidate_pairs(
     b = buckets.join(admitted.select(*key, "bucket_size"), key)
     dist = F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
     if hot_bucket_policy == "salt":
+        # Cold buckets (the overwhelming majority) take this path too:
+        # n_sub=1, u=0, a single (0,0) block — no row multiplication,
+        # and the join distribution on key+(bu,bv) equals the unsalted
+        # key distribution, so the only cost is per-row expression work
+        # (xxhash64 + one-element explode) inside the same codegen
+        # stage. A hot/cold split (direct join for cold, triangle for
+        # hot, union) was considered and declined: it doubles the join
+        # count and perturbs the plan for a constant-factor win the
+        # benches don't show (stage counts and wall time both improved
+        # when this replaced scalar salting).
         n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)) \
             .cast("int")
         b = (

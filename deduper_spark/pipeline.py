@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from deduper_spark.config import DedupConfig
+from deduper_spark.errors import MISSING_PATH, absent_state
 from deduper_spark.functions.keys import md5_key_expr
 from deduper_spark.functions.minhash import minhash_buckets_expr
 from deduper_spark.functions.simhash import simhash_expr
@@ -409,11 +410,7 @@ class DedupPipeline:
         except AnalysisException as exc:
             # ONLY a genuinely absent ledger is a first run; anything
             # else (schema trouble, permissions) must raise
-            probe = getattr(exc, "getCondition",
-                            getattr(exc, "getErrorClass", lambda: ""))
-            klass = str(probe() or "")
-            if ("PATH_NOT_FOUND" not in klass
-                    and "TABLE_OR_VIEW_NOT_FOUND" not in klass):
+            if not absent_state(exc, MISSING_PATH):
                 raise
             self.metrics.append({"stage": "seen_preload", "hashes": 0,
                                  "note": "no ledger at path (first run)"})

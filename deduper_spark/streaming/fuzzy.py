@@ -50,6 +50,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from deduper_spark.errors import MISSING_OR_EMPTY_PATH, absent_state
+
 
 def _band_rows(df: DataFrame, id_col: str, fp_col: str,
                band_bits: int, max_hamming: int) -> DataFrame:
@@ -124,19 +126,22 @@ def stream_fuzzy_dedup(
             sizes = (ledger.groupBy("band", "bucket")
                      .agg(F.count("*").alias("lsz")).persist())
             lsz = F.col("lsz")
-            stats = sizes.agg(
-                F.coalesce(F.sum(F.when(
-                    lsz > ledger_bucket_cap, 1).otherwise(0)),
-                    F.lit(0)).alias("dropped_buckets"),
-                F.coalesce(F.sum(F.when(
-                    lsz > ledger_bucket_cap, lsz).otherwise(0)),
-                    F.lit(0)).alias("dropped_rows"),
-                F.coalesce(F.sum(F.when(
-                    (lsz > max_bucket_size)
-                    & (lsz <= ledger_bucket_cap), 1).otherwise(0)),
-                    F.lit(0)).alias("salted_buckets"),
-            ).collect()[0]
             if on_metrics is not None:
+                # the accounting agg + collect is one extra Spark job
+                # per batch whose only consumer is the callback — skip
+                # it entirely on the default no-callback hot path
+                stats = sizes.agg(
+                    F.coalesce(F.sum(F.when(
+                        lsz > ledger_bucket_cap, 1).otherwise(0)),
+                        F.lit(0)).alias("dropped_buckets"),
+                    F.coalesce(F.sum(F.when(
+                        lsz > ledger_bucket_cap, lsz).otherwise(0)),
+                        F.lit(0)).alias("dropped_rows"),
+                    F.coalesce(F.sum(F.when(
+                        (lsz > max_bucket_size)
+                        & (lsz <= ledger_bucket_cap), 1).otherwise(0)),
+                        F.lit(0)).alias("salted_buckets"),
+                ).collect()[0]
                 on_metrics({
                     "batch_id": batch_id,
                     "ledger_salted_buckets": int(stats["salted_buckets"]),
@@ -159,17 +164,10 @@ def stream_fuzzy_dedup(
                         .where(ham <= max_hamming)
                         .select(F.col("id").alias(id_col)).distinct())
         except AnalysisException as exc:
-            # ONLY a genuinely absent ledger (PATH_NOT_FOUND) or an
-            # empty directory left by a crashed/zero-row first write
-            # (UNABLE_TO_INFER_SCHEMA — parquet dir with only _SUCCESS)
-            # is a first run; corrupt or unreadable state must raise,
-            # not silently disable dedup (same narrowing as
-            # pipeline._preload_seen)
-            probe = getattr(exc, "getCondition",
-                            getattr(exc, "getErrorClass", lambda: ""))
-            cond = str(probe() or "")
-            if ("PATH_NOT_FOUND" not in cond
-                    and "UNABLE_TO_INFER_SCHEMA" not in cond):
+            # ONLY a genuinely absent or empty ledger is a first run;
+            # corrupt or unreadable state must raise, not silently
+            # disable dedup (same narrowing as pipeline._preload_seen)
+            if not absent_state(exc, MISSING_OR_EMPTY_PATH):
                 raise
             seen_ids = None
         fresh = (base.join(seen_ids, id_col, "left_anti")
@@ -265,7 +263,19 @@ def compact_streaming_output(
     from deduper_spark.operators.cc import connected_components
     from deduper_spark.operators.lsh import hamming_candidate_pairs
 
-    retained = spark.read.parquet(target_dir)
+    try:
+        retained = spark.read.parquet(target_dir)
+    except AnalysisException as exc:
+        # "stream ran but every batch was empty" is a reachable state
+        # (empty batches short-circuit before any write), so a
+        # scheduled compaction must not crash on the absent target —
+        # there is nothing to compact. The payload schema is unknowable
+        # without data; return the minimal streamed-output schema.
+        if not absent_state(exc, MISSING_OR_EMPTY_PATH):
+            raise
+        return spark.createDataFrame(
+            [], f"`{id_col}` string, `{fingerprint_col}` bigint, "
+                "batch_id bigint")
     nodes = retained.select(F.col(id_col).alias("id"),
                             F.col(fingerprint_col).alias("_fp"))
     if dropped_dir is not None:
@@ -275,11 +285,7 @@ def compact_streaming_output(
                                F.col(fingerprint_col).alias("_fp")))
             nodes = nodes.unionByName(bridges)
         except AnalysisException as exc:
-            probe = getattr(exc, "getCondition",
-                            getattr(exc, "getErrorClass", lambda: ""))
-            cond = str(probe() or "")
-            if ("PATH_NOT_FOUND" not in cond
-                    and "UNABLE_TO_INFER_SCHEMA" not in cond):
+            if not absent_state(exc, MISSING_OR_EMPTY_PATH):
                 raise
             # no dropped rows recorded yet: retained-only compaction
 

@@ -115,3 +115,28 @@ def test_pipeline_with_real_jpeg_lossy_roles(spark):
                 .itertuples(index=False, name=None))
     assert got == want
     assert res.report.success
+
+
+def test_chunked_lookahead_equals_single_chunk(monkeypatch):
+    """The chunked entropy-window refill (bounded-memory decode of
+    large foreign scans) is bit-for-bit equivalent to decoding with
+    one chunk covering the whole stream: shrink the chunk so a small
+    image's scan crosses several refills and compare pixels."""
+    from deduper_spark.functions import jpeg as J
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (120, 104, 3), dtype=np.uint8)
+    buf = J.encode_jpeg(img, quality=95)   # noise -> long entropy scan
+    want = J.decode_jpeg(buf)
+
+    # margin must stay below the chunk; 1<<16 bits forces refills on a
+    # scan this size while one MCU (<~24k bits) still fits the margin
+    monkeypatch.setattr(J, "_PEEK_CHUNK_BITS", 1 << 16)
+    monkeypatch.setattr(J, "_REFILL_MARGIN_BITS", 1 << 15)
+    assert 8 * len(buf) > (1 << 16)        # the scan really spans chunks
+    got = J.decode_jpeg(buf)
+    assert np.array_equal(got, want)
+
+    # truncation contract survives chunking
+    with pytest.raises(ValueError):
+        J.decode_jpeg(buf[: len(buf) // 2])

@@ -477,6 +477,34 @@ def test_compact_streaming_output_converges_to_batch(spark, tmp_path):
     assert {r["image_id"] for r in partial.collect()} == {"A", "C"}
 
 
+def test_compact_streaming_output_absent_target(spark, tmp_path):
+    """A stream whose every batch was empty writes no target at all
+    (the empty-batch short-circuit); a scheduled nightly compaction on
+    that state is a no-op empty result, not an AnalysisException —
+    mirrors the dropped_dir guard. Corrupt state must still raise."""
+    from deduper_spark.streaming.fuzzy import compact_streaming_output
+
+    out = compact_streaming_output(
+        spark, str(tmp_path / "never_written"), "image_id", "phash",
+        dropped_dir=str(tmp_path / "also_never"))
+    assert out.count() == 0
+    assert set(out.columns) == {"image_id", "phash", "batch_id"}
+
+    # an empty directory (crashed/zero-row first write) is the same
+    (tmp_path / "empty_dir").mkdir()
+    out2 = compact_streaming_output(
+        spark, str(tmp_path / "empty_dir"), "image_id", "phash")
+    assert out2.count() == 0
+
+    # a non-parquet file in the target is NOT "absent" -> raises
+    bad = tmp_path / "corrupt"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"not parquet at all")
+    with pytest.raises(Exception):
+        compact_streaming_output(
+            spark, str(bad), "image_id", "phash").count()
+
+
 # ------------------------------------------------------------------
 # Fuzz the round-4 fast decoders: truncation / corruption must remain
 # ValueError (the mapInPandas isolation contract), never IndexError

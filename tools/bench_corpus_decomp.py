@@ -62,14 +62,10 @@ def main() -> None:
     DedupPipeline(cfg, collect_metrics=False).run(spark, w)
     w.unpersist()
 
+    from bench import _stage_count
+
     def stage_count(group: str) -> int:
-        tracker = spark.sparkContext.statusTracker()
-        stages: set[int] = set()
-        for j in tracker.getJobIdsForGroup(group):
-            info = tracker.getJobInfo(j)
-            if info:
-                stages.update(info.stageIds)
-        return len(stages)
+        return _stage_count(spark, group)
 
     results: dict[str, list[float]] = {"png": [], "dspk": []}
     stages: dict[str, list[int]] = {"png": [], "dspk": []}
@@ -89,7 +85,10 @@ def main() -> None:
             print(f"rep {rep} {container}: {dt}s "
                   f"(stages {stages[container][-1]})", flush=True)
 
-    med = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else round((s[mid - 1] + s[mid]) / 2, 2)
     png_m, dspk_m = med(results["png"]), med(results["dspk"])
     out = {
         "n_images": n,
