@@ -28,6 +28,11 @@ bursts):
                   all-legs median AND the clean-legs-only median.
   --append-log=P  append one JSON line per completed leg to P, so a
                   killed session still contributes its finished legs
+  --container=C   corpus container, "png" (default, real RFC-2083
+                  blobs — zlib decode cost in the features stage) or
+                  "dspk" (raw header+RGB, the round-2 corpus) — run
+                  both to decompose codec decode cost out of the
+                  scaling quotient on otherwise identical corpora
 
 Usage:  python tools/bench_scaling.py [n_images] [--write]
         --write updates BENCH/BASELINE.md
@@ -65,7 +70,7 @@ spark = get_spark("scale%d" % cpus, master="local[%d]" % cpus,
                   shuffle_partitions=cpus,
                   extra_conf=conf)
 spark.sparkContext.setLogLevel("ERROR")
-df = make_df(spark, 42, {n}).persist()
+df = make_df(spark, 42, {n}, container={container!r}).persist()
 df.count()
 
 # warm up python workers on every core (pandas UDF fork cost)
@@ -82,7 +87,7 @@ from deduper_spark.config import FuzzyConfig
 # JIT, Arrow serializer init, block-manager setup) measured at ~8 s —
 # costs a long-lived cluster pays once at startup, not per job, so
 # they are excluded from the timed window like session startup is.
-_w = make_df(spark, 43, 1000).persist(); _w.count()
+_w = make_df(spark, 43, 1000, container={container!r}).persist(); _w.count()
 DedupPipeline(DedupConfig(fuzzy=FuzzyConfig(psnr_mode="audit"),
             # no JSON-ledger export in the benchmark: carrying raw
             # captions through the bandwidth-bound features stage
@@ -125,8 +130,10 @@ spark.stop()
 """
 
 
-def run_one(repo: str, cpus: int, n: int, aqe: bool = True) -> dict:
-    code = WORKER.format(repo=repo, cpus=cpus, n=n, aqe=aqe)
+def run_one(repo: str, cpus: int, n: int, aqe: bool = True,
+            container: str = "png") -> dict:
+    code = WORKER.format(repo=repo, cpus=cpus, n=n, aqe=aqe,
+                         container=container)
     env = dict(os.environ, PYTHONPATH=repo)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -166,6 +173,7 @@ def main() -> None:
     reps = 3
     gate = None
     log_path = None
+    container = "png"
     for a in sys.argv[2:]:
         if a.startswith("--levels="):
             lo_cpus, hi_cpus = (int(x) for x in a.split("=")[1].split(","))
@@ -177,6 +185,8 @@ def main() -> None:
             gate = float(a.split("=")[1])
         if a.startswith("--append-log="):
             log_path = a.split("=")[1]
+        if a.startswith("--container="):
+            container = a.split("=")[1]
     dirty_load = gate if gate is not None else 3.0
     # the sandbox host is a shared hypervisor with 2-3x wall-clock noise
     # between identical runs — ALTERNATE the two levels and take medians
@@ -188,7 +198,7 @@ def main() -> None:
         order = (lo_cpus, hi_cpus) if i % 2 == 0 else (hi_cpus, lo_cpus)
         for cpus in order:
             load_before = _wait_idle(gate)
-            r = run_one(repo, cpus, n, aqe)
+            r = run_one(repo, cpus, n, aqe, container)
             r["load_before"] = load_before
             r["tenant_cores"] = round(r["busy_cores"] - cpus, 1)
             r["clean"] = (load_before < dirty_load
@@ -197,7 +207,8 @@ def main() -> None:
             if log_path:
                 with open(log_path, "a") as f:
                     f.write(json.dumps(
-                        {"n": n, "rep": i, **{k: r[k] for k in (
+                        {"n": n, "rep": i, "container": container,
+                         **{k: r[k] for k in (
                             "cpus", "sec", "images_per_sec", "busy_cores",
                             "tenant_cores", "load_before", "clean",
                             "dupe_count")}}) + "\n")
@@ -214,6 +225,7 @@ def main() -> None:
     r8, r32 = med(runs8), med(runs32)
     eff = (r32["images_per_sec"] / r8["images_per_sec"]) / (hi_cpus / lo_cpus)
     summary = {"n_images": n, "reps": reps, "levels": [lo_cpus, hi_cpus],
+               "container": container,
                "local8_secs": [r["sec"] for r in runs8],
                "local32_secs": [r["sec"] for r in runs32],
                "clean_flags": {str(c): [r["clean"] for r in runs[c]]
