@@ -593,6 +593,24 @@ def q_video_dedup(spark, sf_dir):
     return video_dedup_pairs(df, every_n=2).select("id_l", "id_r")
 
 
+def q_video_shifted(spark, sf_dir):
+    """Shift-tolerant video near-dup pairs: offset voting over
+    positionless frame-phash pairs catches TRIMMED copies positional
+    matching misses. Planted truth (index-derivable): every i%5==2
+    clip has a trimmed copy (first 2 frames cut, re-encoded q85) that
+    aligns at offset -2 with n_frames-2 frame votes; the per-block
+    byte-exact role-6 dups also align, at offset 0 with all frames."""
+    from deduper_spark.operators.multimodal import video_dedup_pairs_shifted
+    from deduper_spark.synth import make_shifted_video_df
+
+    df = make_shifted_video_df(spark, seed=42, n=20)
+    out = video_dedup_pairs_shifted(df, min_matched_frames=3)
+    return out.select(
+        "id_l", "id_r",
+        F.col("offset").cast("int").alias("frame_offset"),
+        F.col("matched_frames").cast("long").alias("matched_frames"))
+
+
 def q_event_debounce(spark, sf_dir):
     """Near-time duplicate suppression: drop an event when the same
     user's previous event is < 4 h older (lag predicate, integer
@@ -637,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_dedup": q_audio_dedup,
         "video_frames": q_video_frames,
         "video_dedup": q_video_dedup,
+        "video_shifted": q_video_shifted,
         # oracled via exact sketch contracts / planted truth (see the
         # per-query docstrings): hamming-0 simhash == token-multiset
         # equality; image features == index-derivable (decode_ok, w, h)
@@ -1003,6 +1022,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'vid' || lpad((i - 6)::VARCHAR, 9, '0') AS id_l,
                    'vid' || lpad(i::VARCHAR, 9, '0') AS id_r
             FROM (SELECT unnest(range(40)) AS i)
+            WHERE i % 10 = 6
+        """,
+        "video_shifted": """
+            -- planted truth (synth.make_shifted_video_df): every
+            -- i%5==2 clip has a trimmed copy 'vid9'+8digits (first 2
+            -- frames cut, re-encoded q85) aligning at offset -2 with
+            -- n_frames-2 frame votes; per block of 10, role 6 is a
+            -- byte-exact dup of role 0 aligning at offset 0 with all
+            -- n_frames = 6 + 2*(block%3) frames
+            SELECT 'vid' || lpad(i::VARCHAR, 9, '0') AS id_l,
+                   'vid9' || lpad(i::VARCHAR, 8, '0') AS id_r,
+                   -2 AS frame_offset,
+                   (6 + 2 * ((i // 10) % 3) - 2)::BIGINT
+                       AS matched_frames
+            FROM (SELECT unnest(range(20)) AS i)
+            WHERE i % 5 = 2
+            UNION ALL
+            SELECT 'vid' || lpad((i - 6)::VARCHAR, 9, '0') AS id_l,
+                   'vid' || lpad(i::VARCHAR, 9, '0') AS id_r,
+                   0 AS frame_offset,
+                   (6 + 2 * ((i // 10) % 3))::BIGINT AS matched_frames
+            FROM (SELECT unnest(range(20)) AS i)
             WHERE i % 10 = 6
         """,
         "video_frames": """

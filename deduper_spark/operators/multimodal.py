@@ -56,6 +56,59 @@ def extract_image_features(df: DataFrame, id_col: str, bytes_col: str) -> DataFr
     return sel.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def image_features_from_source(df: DataFrame,
+                               id_col: str = "origin") -> DataFrame:
+    """Image features over JVM-DECODED pixels — the scale path for
+    FOREIGN formats (GIF/BMP/arbitrary PNG/JPEG the from-scratch
+    Python codecs don't cover). Input is `read_image_source` output
+    (origin, h, w, nchannels, mode, data) where `data` is row-major
+    BGR pixels decoded by javax.imageio INSIDE the JVM; this operator
+    is pure vectorized NumPy per image (reshape + channel flip +
+    means + DCT phash) — no per-pixel Python anywhere, so a 100 TB
+    foreign corpus pays JVM decode cost, not Python codec cost.
+
+    Output schema == extract_image_features (id = origin), so the
+    result drops into the same LSH/verify/CC machinery; feature
+    parity with the in-column path is test-asserted (identical phash
+    + means on identical pixels). Rows whose buffer length does not
+    match h*w*nchannels isolate as decode_ok=false (the seam's
+    dropInvalid already removed undecodable files)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deduper_spark.functions.phash import phash64
+
+        for pdf in batches:
+            out = []
+            for rid, h, w, nch, buf in zip(
+                    pdf["id"], pdf["h"], pdf["w"], pdf["nch"], pdf["b"]):
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if (h is None or w is None or nch is None
+                        or nch not in (1, 3, 4)
+                        or arr.size != int(h) * int(w) * int(nch)):
+                    out.append((rid, False, None, None,
+                                None, None, None, None))
+                    continue
+                px = arr.reshape(int(h), int(w), int(nch))
+                if nch == 1:
+                    px = np.repeat(px, 3, axis=2)
+                else:  # BGR / BGRA (ImageSchema layout) -> RGB
+                    px = px[:, :, 2::-1]
+                means = px.reshape(-1, 3).mean(axis=0)
+                out.append((rid, True, int(w), int(h),
+                            round(float(means[0]), 6),
+                            round(float(means[1]), 6),
+                            round(float(means[2]), 6), phash64(px)))
+            yield pd.DataFrame(out, columns=["id", "decode_ok", "w", "h",
+                                             "mean_r", "mean_g", "mean_b",
+                                             "phash"])
+
+    sel = df.select(F.col(id_col).alias("id"), F.col("h").alias("h"),
+                    F.col("w").alias("w"),
+                    F.col("nchannels").alias("nch"),
+                    F.col("data").alias("b"))
+    return sel.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
 def resize_images(df: DataFrame, id_col: str, bytes_col: str,
                   out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
     """Nearest-neighbor resize, re-encoded into a REAL container:

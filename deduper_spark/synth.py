@@ -401,3 +401,61 @@ def make_video_df(spark, seed: int, n: int, partitions: int | None = None):
         spark.range(0, n, numPartitions=parts)
         .mapInPandas(gen, schema=VIDEO_SCHEMA)
     )
+
+
+TRIM_ROLE = 2          # i % 5 == 2 clips get a trimmed near-copy
+TRIM_FRAMES = 2        # leading frames cut from the copy
+TRIM_QUALITY = 85      # copies re-encode at lower quality (lossy drift)
+
+
+def make_trimmed_video_row(seed: int, i: int) -> dict:
+    """A TRIMMED near-copy of base clip ``i``: the first TRIM_FRAMES
+    frames are cut and the remainder re-encoded at lower JPEG quality
+    — the planted truth for shift-tolerant video matching. Frame j of
+    the copy equals frame j+TRIM_FRAMES of the base (modulo lossy
+    re-encode), so the copy aligns at offset -TRIM_FRAMES with
+    n_frames - TRIM_FRAMES frame votes. Copy ids sort AFTER their
+    base ('vid9' + 8 digits > 'vid0...'), matching the pair order the
+    operator canonicalizes to."""
+    from deduper_spark.functions.avi import encode_avi_mjpeg
+
+    base_i, _klass = _video_base_index(i)
+    n_frames = video_frame_count(i)
+    pixels = _pixels(seed, base_i)
+    frames = [np.roll(pixels, 4 * k, axis=1)
+              for k in range(TRIM_FRAMES, n_frames)]
+    buf = encode_avi_mjpeg(frames, fps=10, quality=TRIM_QUALITY)
+    return {
+        "video_id": f"vid9{i:08d}",
+        "bytes": buf,
+        "n_frames": n_frames - TRIM_FRAMES,
+        "fps": 10,
+        "w": IMG,
+        "h": IMG,
+        "fmt": "avi",
+    }
+
+
+def make_shifted_video_df(spark, seed: int, n: int,
+                          partitions: int | None = None):
+    """make_video_df plus trimmed near-copies of every i%5==TRIM_ROLE
+    clip (ids 'vid9' + 8 digits; requires n < 10**8 so copy ids cannot
+    collide with base ids). Planted truth stays index-derivable: the
+    base roles are unchanged, copies align at offset -TRIM_FRAMES."""
+    if n >= 10 ** 8:
+        raise ValueError("n must stay below 10**8 (copy-id namespace)")
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            for lo in range(0, len(pdf), 200):
+                ids = pdf["id"].iloc[lo : lo + 200]
+                rows = [make_video_row(seed, int(i)) for i in ids]
+                rows += [make_trimmed_video_row(seed, int(i))
+                         for i in ids if int(i) % 5 == TRIM_ROLE]
+                yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, numPartitions=parts)
+        .mapInPandas(gen, schema=VIDEO_SCHEMA)
+    )

@@ -572,3 +572,91 @@ def test_png_bitflip_and_truncation_isolate():
                 decode_png(bytes(b2))
             except ValueError:
                 pass
+
+
+def test_video_shifted_driver_query_matches_planted_truth(spark):
+    """The new `video_shifted` driver query recovers EXACTLY the
+    planted truth: trimmed q85 copies of every i%5==2 clip align at
+    offset -2 with n_frames-2 votes, and the per-block byte-exact
+    role-6 dups align at offset 0 with all frames — mirror of the
+    DuckDB oracle in __spark_entry__."""
+    import __spark_entry__ as entry
+
+    got = {
+        (r["id_l"], r["id_r"]): (r["frame_offset"], r["matched_frames"])
+        for r in entry.queries()["video_shifted"](spark, None).collect()
+    }
+    expected = {}
+    for i in range(20):
+        nf = 6 + 2 * ((i // 10) % 3)
+        if i % 5 == 2:
+            expected[(f"vid{i:09d}", f"vid9{i:08d}")] = (-2, nf - 2)
+        if i % 10 == 6:
+            expected[(f"vid{i - 6:09d}", f"vid{i:09d}")] = (0, nf)
+    assert got == expected
+
+
+def test_image_features_from_source_parity_with_column_path(spark, tmp_path):
+    """Foreign-format scale path: features computed over JVM-decoded
+    pixels (image source -> image_features_from_source, zero Python
+    codec work) are IDENTICAL — phash, means, w/h — to the in-column
+    path (extract_image_features over the PNG bytes), incl. a
+    Paeth-filtered PNG and a JPEG; a length-corrupt buffer isolates
+    as decode_ok=false instead of failing the job."""
+    import pandas as pd
+
+    from deduper_spark.functions.jpeg import encode_jpeg
+    from deduper_spark.functions.png import encode_png
+    from deduper_spark.operators.multimodal import (
+        extract_image_features,
+        image_features_from_source,
+    )
+    from deduper_spark.sources.readers import read_image_source
+
+    rng = np.random.default_rng(7)
+    blobs = {}
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name, ft in (("plain.png", 0), ("paeth.png", 4)):
+        px = rng.integers(0, 256, (40, 32, 3)).astype(np.uint8)
+        blobs[name] = encode_png(px, filter_type=ft)
+        (d / name).write_bytes(blobs[name])
+    px = rng.integers(0, 256, (24, 24, 3)).astype(np.uint8)
+    blobs["photo.jpeg"] = encode_jpeg(px, quality=90)
+    (d / "photo.jpeg").write_bytes(blobs["photo.jpeg"])
+
+    src = read_image_source(spark, str(d))
+    got = image_features_from_source(src).toPandas()
+    got["name"] = got["id"].str.rsplit("/", n=1).str[-1]
+    got = got.set_index("name").sort_index()
+
+    col_df = spark.createDataFrame(pd.DataFrame(
+        {"id": list(blobs), "bytes": [bytearray(v) for v in blobs.values()]}))
+    want = (extract_image_features(col_df, "id", "bytes")
+            .toPandas().set_index("id").sort_index())
+
+    assert list(got.index) == list(want.index)
+    for c in ("decode_ok", "w", "h"):
+        assert list(got[c]) == list(want[c]), c
+    # lossless PNGs: identical pixels -> bit-identical features
+    for name in ("plain.png", "paeth.png"):
+        assert got.loc[name, "phash"] == want.loc[name, "phash"], name
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert abs(got.loc[name, c] - want.loc[name, c]) < 1e-9, c
+    # JPEG: two independent T.81 IDCT implementations round
+    # differently by design — near-dup tolerance, not bit equality
+    ham = bin((int(got.loc["photo.jpeg", "phash"])
+               ^ int(want.loc["photo.jpeg", "phash"]))
+              & ((1 << 64) - 1)).count("1")
+    assert ham <= 4, f"JPEG phash drift {ham} bits"
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert abs(got.loc["photo.jpeg", c]
+                   - want.loc["photo.jpeg", c]) < 2.0, c
+
+    # length-corrupt buffer isolates, not kills
+    bad = spark.createDataFrame(
+        pd.DataFrame({"origin": ["bad"], "h": [40], "w": [32],
+                      "nchannels": [3], "mode": [16],
+                      "data": [bytearray(b"\x00" * 17)]}))
+    out = image_features_from_source(bad).toPandas()
+    assert len(out) == 1 and not out.iloc[0]["decode_ok"]
