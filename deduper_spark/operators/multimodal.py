@@ -109,6 +109,51 @@ def image_features_from_source(df: DataFrame,
     return sel.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def dedup_image_dir(spark, path: str, max_hamming: int = 6,
+                    band_bits: int = 16,
+                    recursive: bool = False) -> DataFrame:
+    """End-to-end near-dup clustering over a DIRECTORY of images in
+    any JVM-decodable format (PNG/JPEG/GIF/BMP via javax.imageio) —
+    the foreign-corpus composition of the engine's seam + LSH + CC
+    machinery, usable without captions or an ingestion table:
+
+        image source (JVM decode, undecodable files drop at the seam)
+        -> image_features_from_source (vectorized phash, no Python
+           codec work)
+        -> int64_band_buckets + hamming_candidate_pairs (co-located
+           self-join, inline bit_count predicate, hot buckets salted
+           with the triangle-block recall guarantee)
+        -> connected_components (alternating large/small-star)
+
+    Returns (id, cluster_id, keep): id is the file origin, cluster_id
+    the component's min id, keep the pipeline's keep-first rule
+    (id == cluster_id). Defaults mirror DedupPipeline's phash leg
+    (threshold 6, 4x16-bit bands: pairs within Hamming 3 are
+    pigeonhole-guaranteed, 4-6 probabilistic — same documented
+    trade)."""
+    from deduper_spark.operators.cc import connected_components
+    from deduper_spark.operators.lsh import (
+        hamming_candidate_pairs,
+        int64_band_buckets,
+    )
+    from deduper_spark.sources.readers import read_image_source
+
+    src = read_image_source(spark, path, recursive=recursive)
+    # pin the JVM decode + phash: consumed by banding AND the node set
+    feats = (image_features_from_source(src)
+             .where("decode_ok")
+             .select("id", "phash")
+             .localCheckpoint())
+    buckets = int64_band_buckets(feats, "id", "phash",
+                                 band_bits=band_bits, family="img",
+                                 max_hamming=max_hamming)
+    pairs, _dropped = hamming_candidate_pairs(buckets)
+    clusters = connected_components(
+        pairs.select("id_l", "id_r"), nodes=feats.select("id"))
+    return clusters.withColumn(
+        "keep", F.col("id") == F.col("cluster_id"))
+
+
 def resize_images(df: DataFrame, id_col: str, bytes_col: str,
                   out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
     """Nearest-neighbor resize, re-encoded into a REAL container:

@@ -660,3 +660,45 @@ def test_image_features_from_source_parity_with_column_path(spark, tmp_path):
                       "data": [bytearray(b"\x00" * 17)]}))
     out = image_features_from_source(bad).toPandas()
     assert len(out) == 1 and not out.iloc[0]["decode_ok"]
+
+
+def test_dedup_image_dir_end_to_end(spark, tmp_path):
+    """Foreign-corpus composition: a directory of mixed-format images
+    (PNG + JPEG of the same picture, a byte-exact PNG copy, a
+    singleton, a poison file) clusters end-to-end through the JVM
+    seam with zero Python codec work — near-dup pair found across
+    FORMATS, exact pair found, singleton kept, poison dropped."""
+    from deduper_spark.functions.jpeg import encode_jpeg
+    from deduper_spark.functions.png import encode_png
+    from deduper_spark.operators.multimodal import dedup_image_dir
+
+    rng = np.random.default_rng(11)
+    # low-frequency patterns (kron-upsampled) so phash is stable
+    # across the PNG->JPEG re-encode, like synth's corpus
+    def pic(k):
+        coarse = rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)
+        return np.kron(coarse, np.ones((8, 8, 1), dtype=np.uint8))
+
+    a, c, d = pic(0), pic(1), pic(2)
+    dirp = tmp_path / "corpus"
+    dirp.mkdir()
+    (dirp / "a1.png").write_bytes(encode_png(a))
+    (dirp / "a2.jpeg").write_bytes(encode_jpeg(a, quality=90))
+    (dirp / "c1.png").write_bytes(encode_png(c))
+    (dirp / "c2.png").write_bytes(encode_png(c))          # byte-exact
+    (dirp / "d.png").write_bytes(encode_png(d))
+    (dirp / "poison.png").write_bytes(b"\x89PNG\r\n\x1a\nJUNK")
+
+    out = dedup_image_dir(spark, str(dirp)).toPandas()
+    out["name"] = out["id"].str.rsplit("/", n=1).str[-1]
+    out["cname"] = out["cluster_id"].str.rsplit("/", n=1).str[-1]
+    by = out.set_index("name")
+
+    assert len(out) == 5                                  # poison gone
+    assert by.loc["a1.png", "cname"] == "a1.png" and by.loc["a1.png", "keep"]
+    assert by.loc["a2.jpeg", "cname"] == "a1.png"         # cross-format
+    assert not by.loc["a2.jpeg", "keep"]
+    assert by.loc["c1.png", "cname"] == "c1.png" and by.loc["c1.png", "keep"]
+    assert by.loc["c2.png", "cname"] == "c1.png"
+    assert not by.loc["c2.png", "keep"]
+    assert by.loc["d.png", "cname"] == "d.png" and by.loc["d.png", "keep"]
