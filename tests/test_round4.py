@@ -702,3 +702,63 @@ def test_dedup_image_dir_end_to_end(spark, tmp_path):
     assert by.loc["c2.png", "cname"] == "c1.png"
     assert not by.loc["c2.png", "keep"]
     assert by.loc["d.png", "cname"] == "d.png" and by.loc["d.png", "keep"]
+
+
+def _raw_png(arr: np.ndarray, color_type: int) -> bytes:
+    """Minimal RFC 2083 PNG (filter 0 rows) for GRAY (0) / RGBA (6)
+    fixtures the engine encoder (RGB-only) cannot produce."""
+    import struct as _s
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (_s.pack(">I", len(payload)) + tag + payload
+                + _s.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def test_image_features_from_source_gray_and_rgba(spark, tmp_path):
+    """The JVM source hands back 1-channel (grayscale PNG) and
+    4-channel (RGBA PNG, opaque alpha) buffers; the features operator
+    must map both onto the engine's RGB feature space: gray replicates
+    across channels, RGBA drops alpha — phash equals the reference
+    phash of the equivalent RGB image in both cases."""
+    from deduper_spark.functions.phash import phash64
+    from deduper_spark.operators.multimodal import image_features_from_source
+    from deduper_spark.sources.readers import read_image_source
+
+    rng = np.random.default_rng(13)
+    gray = np.kron(rng.integers(0, 256, (8, 8)).astype(np.uint8),
+                   np.ones((8, 8), dtype=np.uint8))          # (64, 64)
+    rgb = np.kron(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8),
+                  np.ones((8, 8, 1), dtype=np.uint8))        # (64, 64, 3)
+    rgba = np.dstack([rgb, np.full(rgb.shape[:2], 255, np.uint8)])
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "gray.png").write_bytes(_raw_png(gray, color_type=0))
+    (d / "rgba.png").write_bytes(_raw_png(rgba, color_type=6))
+
+    src = read_image_source(spark, str(d))
+    got = image_features_from_source(src).toPandas()
+    got["name"] = got["id"].str.rsplit("/", n=1).str[-1]
+    by = got.set_index("name")
+
+    assert set(by.index) == {"gray.png", "rgba.png"}
+    assert list(by["decode_ok"]) == [True, True]
+    assert (by.loc["gray.png", "w"], by.loc["gray.png", "h"]) == (64, 64)
+
+    g3 = np.repeat(gray[:, :, None], 3, axis=2)
+    assert by.loc["gray.png", "phash"] == phash64(g3)
+    for c in ("mean_r", "mean_g", "mean_b"):
+        assert abs(by.loc["gray.png", c] - gray.mean()) < 1e-6, c
+
+    assert by.loc["rgba.png", "phash"] == phash64(rgb)
+    want = rgb.reshape(-1, 3).mean(axis=0)
+    for i, c in enumerate(("mean_r", "mean_g", "mean_b")):
+        assert abs(by.loc["rgba.png", c] - want[i]) < 1e-6, c
