@@ -33,6 +33,16 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--output", default=None,
                     help="write clusters table/path (optional)")
+    ap.add_argument("--psnr-mode", default=None,
+                    help="override fuzzy psnr_mode (e.g. 'audit')")
+    ap.add_argument("--no-json", action="store_true",
+                    help="skip the ledger json_row projection")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a tiny pipeline first so the timed window "
+                         "measures steady state (one-time JVM codegen / "
+                         "Arrow init / Python-worker fork are startup "
+                         "costs a long-lived cluster pays once, not "
+                         "per job — same exclusion as bench_scaling)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -63,7 +73,25 @@ def main() -> None:
         print("need --input or --synth", file=sys.stderr)
         sys.exit(2)
 
-    cfg = DedupConfig(checkpoint_dir=args.checkpoint_dir, run_id=args.run_id)
+    kw = {}
+    if args.psnr_mode or args.no_json:
+        from deduper_spark.config import FuzzyConfig
+
+        if args.psnr_mode:
+            kw["fuzzy"] = FuzzyConfig(psnr_mode=args.psnr_mode)
+        if args.no_json:
+            kw["include_json"] = False
+    cfg = DedupConfig(checkpoint_dir=args.checkpoint_dir,
+                      run_id=args.run_id, **kw)
+    if args.warmup:
+        from deduper_spark.synth import make_df as _mk
+
+        _w = _mk(spark, args.seed + 1, 1000).persist()
+        _w.count()
+        # fresh config WITHOUT checkpoint_dir: the warmup must never
+        # write (or resume from) the real run's checkpoint lineage
+        DedupPipeline(DedupConfig(**kw)).run(spark, _w)
+        _w.unpersist()
     t0 = time.time()
     res = DedupPipeline(cfg).run(spark, df)
     if args.output:
