@@ -82,7 +82,11 @@ def image_features_from_source(df: DataFrame,
             for rid, h, w, nch, buf in zip(
                     pdf["id"], pdf["h"], pdf["w"], pdf["nch"], pdf["b"]):
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                # non-positive dims guard: with dropInvalid=False the
+                # source emits h=w=-1 rows, and a 0-dim buffer would
+                # make the means NaN instead of isolating
                 if (h is None or w is None or nch is None
+                        or int(h) <= 0 or int(w) <= 0
                         or nch not in (1, 3, 4)
                         or arr.size != int(h) * int(w) * int(nch)):
                     out.append((rid, False, None, None,

@@ -762,3 +762,38 @@ def test_image_features_from_source_gray_and_rgba(spark, tmp_path):
     want = rgb.reshape(-1, 3).mean(axis=0)
     for i, c in enumerate(("mean_r", "mean_g", "mean_b")):
         assert abs(by.loc["rgba.png", c] - want[i]) < 1e-6, c
+
+
+def test_image_features_from_source_degenerate_rows_isolate(spark):
+    """dropInvalid=False rows (h=w=-1, empty buffer) and zero-dim
+    buffers must isolate as decode_ok=false — never NaN features or a
+    reshape error."""
+    import pandas as pd
+
+    from deduper_spark.operators.multimodal import image_features_from_source
+
+    rows = pd.DataFrame({
+        "origin": ["invalid", "zerodim", "ok"],
+        "h": [-1, 0, 2], "w": [-1, 4, 2], "nchannels": [-1, 3, 3],
+        "mode": [-1, 16, 16],
+        "data": [bytearray(), bytearray(), bytearray(range(12))],
+    })
+    out = (image_features_from_source(spark.createDataFrame(rows))
+           .toPandas().set_index("id"))
+    assert not out.loc["invalid", "decode_ok"]
+    assert not out.loc["zerodim", "decode_ok"]
+    assert out.loc["ok", "decode_ok"]
+    assert not out[["mean_r", "mean_g", "mean_b"]].isna().loc["ok"].any()
+
+
+def test_dedup_image_dir_empty_dir(spark, tmp_path):
+    """A directory with no decodable images yields an empty cluster
+    table with the full schema — not an exception mid-plan."""
+    from deduper_spark.operators.multimodal import dedup_image_dir
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    (d / "junk.png").write_bytes(b"\x89PNG\r\n\x1a\nNOPE")
+    out = dedup_image_dir(spark, str(d))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "cluster_id", "keep"]
