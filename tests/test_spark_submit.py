@@ -65,3 +65,48 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     exp = expected_clusters(42, 120)
     assert rep["dupe_count"] == 120 - exp["cluster_id"].nunique()
     assert out["stages"], "per-stage metrics must be emitted"
+
+
+def test_spark_submit_image_dir_mode(tmp_path):
+    """The deployment entry point's foreign-corpus mode: spark-submit
+    --py-files with --image-dir clusters a directory of images through
+    the JVM seam (imports from the shipped zip, cwd outside the repo)
+    and reports planted-truth counts."""
+    import numpy as np
+
+    from deduper_spark.functions.png import encode_png
+
+    rng = np.random.default_rng(17)
+    corpus = tmp_path / "imgs"
+    corpus.mkdir()
+    for i in range(4):
+        px = np.kron(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8),
+                     np.ones((8, 8, 1), dtype=np.uint8))
+        (corpus / f"img{i}.png").write_bytes(encode_png(px))
+        if i == 2:
+            (corpus / "img2copy.png").write_bytes(encode_png(px))
+
+    zip_path = str(tmp_path / "deduper_spark.zip")
+    _build_zip(zip_path)
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path,
+         os.path.join(REPO, "tools", "submit_dedup.py"),
+         "--image-dir", str(corpus)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{") and '"image_dir"' in ln][-1]
+    out = json.loads(line)
+    assert out["files_clustered"] == 5
+    assert out["clusters"] == 4
+    assert out["dupes"] == 1

@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--output", default=None,
                     help="write clusters table/path (optional)")
+    ap.add_argument("--image-dir", default=None,
+                    help="cluster a DIRECTORY of images (any "
+                         "JVM-decodable format) instead of a table")
     ap.add_argument("--psnr-mode", default=None,
                     help="override fuzzy psnr_mode (e.g. 'audit')")
     ap.add_argument("--no-json", action="store_true",
@@ -59,6 +62,30 @@ def main() -> None:
 
     from deduper_spark.config import DedupConfig
     from deduper_spark.pipeline import DedupPipeline
+
+    if args.image_dir:
+        # foreign-corpus mode: directory of images in any
+        # JVM-decodable format -> JVM-seam features -> Hamming LSH ->
+        # CC keep-first clusters (no captions, no ingestion table)
+        from deduper_spark.operators.multimodal import dedup_image_dir
+
+        t0 = time.time()
+        clusters = dedup_image_dir(spark, args.image_dir).persist()
+        n_files = clusters.count()
+        n_clusters = clusters.where("keep").count()
+        if args.output:
+            from deduper_spark.sinks.writers import write_table
+
+            write_table(clusters, args.output)
+        print(json.dumps({
+            "sec": round(time.time() - t0, 3),
+            "mode": "image_dir",
+            "files_clustered": n_files,
+            "clusters": n_clusters,
+            "dupes": n_files - n_clusters,
+        }))
+        spark.stop()
+        return
 
     if args.synth:
         from deduper_spark.synth import make_df
