@@ -81,27 +81,32 @@ def image_features_from_source(df: DataFrame,
             out = []
             for rid, h, w, nch, buf in zip(
                     pdf["id"], pdf["h"], pdf["w"], pdf["nch"], pdf["b"]):
-                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-                # non-positive dims guard: with dropInvalid=False the
-                # source emits h=w=-1 rows, and a 0-dim buffer would
-                # make the means NaN instead of isolating
-                if (h is None or w is None or nch is None
-                        or int(h) <= 0 or int(w) <= 0
-                        or nch not in (1, 3, 4)
-                        or arr.size != int(h) * int(w) * int(nch)):
+                # guard BEFORE touching the buffer: nulls arrive as
+                # None (buffer) or NaN (dims, through Arrow->pandas),
+                # and dropInvalid=False emits h=w=-1 rows — all must
+                # isolate as decode_ok=false, never kill the task
+                try:
+                    if buf is None or pd.isna(h) or pd.isna(w) \
+                            or pd.isna(nch):
+                        raise ValueError("null dims or buffer")
+                    h_i, w_i, nch_i = int(h), int(w), int(nch)
+                    arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                    if (h_i <= 0 or w_i <= 0 or nch_i not in (1, 3, 4)
+                            or arr.size != h_i * w_i * nch_i):
+                        raise ValueError("dim/buffer mismatch")
+                    px = arr.reshape(h_i, w_i, nch_i)
+                    if nch_i == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    else:  # BGR / BGRA (ImageSchema layout) -> RGB
+                        px = px[:, :, 2::-1]
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    out.append((rid, True, w_i, h_i,
+                                round(float(means[0]), 6),
+                                round(float(means[1]), 6),
+                                round(float(means[2]), 6), phash64(px)))
+                except (ValueError, TypeError):
                     out.append((rid, False, None, None,
                                 None, None, None, None))
-                    continue
-                px = arr.reshape(int(h), int(w), int(nch))
-                if nch == 1:
-                    px = np.repeat(px, 3, axis=2)
-                else:  # BGR / BGRA (ImageSchema layout) -> RGB
-                    px = px[:, :, 2::-1]
-                means = px.reshape(-1, 3).mean(axis=0)
-                out.append((rid, True, int(w), int(h),
-                            round(float(means[0]), 6),
-                            round(float(means[1]), 6),
-                            round(float(means[2]), 6), phash64(px)))
             yield pd.DataFrame(out, columns=["id", "decode_ok", "w", "h",
                                              "mean_r", "mean_g", "mean_b",
                                              "phash"])

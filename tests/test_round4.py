@@ -797,3 +797,19 @@ def test_dedup_image_dir_empty_dir(spark, tmp_path):
     out = dedup_image_dir(spark, str(d))
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "cluster_id", "keep"]
+
+
+def test_image_features_from_source_null_rows_isolate(spark):
+    """NULL buffers / NULL dims (None in the driver, NaN once Arrow
+    hands them to pandas) must isolate as decode_ok=false — not
+    TypeError/ValueError task death."""
+    from deduper_spark.operators.multimodal import image_features_from_source
+
+    df = spark.createDataFrame(
+        [("nullbuf", 2, 2, 3, 16, None),
+         ("nulldims", None, None, None, None, bytearray(b"\x00" * 12)),
+         ("ok", 2, 2, 3, 16, bytearray(range(12)))],
+        "origin string, h int, w int, nchannels int, mode int, data binary")
+    out = (image_features_from_source(df).toPandas()
+           .set_index("id")["decode_ok"].to_dict())
+    assert out == {"nullbuf": False, "nulldims": False, "ok": True}

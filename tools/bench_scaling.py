@@ -46,6 +46,9 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from benchlib import flag_args, flag_value, positional_n, wait_idle
+
 WORKER = r"""
 import os, sys, time, json
 os.environ.setdefault("OMP_NUM_THREADS", "1")
@@ -146,47 +149,28 @@ def run_one(repo: str, cpus: int, n: int, aqe: bool = True,
                        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def _load1() -> float:
-    return float(open("/proc/loadavg").read().split()[0])
-
-
-def _wait_idle(gate: float | None, timeout_s: int = 1800) -> float:
-    """Poll until the 1-min load drops under ``gate`` (or timeout);
-    returns the load seen last. Waiting happens BETWEEN legs, where it
-    is free — this is what turns a burst from a lost session into a
-    delayed leg."""
-    load = _load1()
-    if gate is None:
-        return load
-    t0 = time.time()
-    while load >= gate and time.time() - t0 < timeout_s:
-        time.sleep(15)
-        load = _load1()
-    return load
-
-
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 50_000
+    n = positional_n(sys.argv, 50_000)
     lo_cpus, hi_cpus = 8, 32
     aqe = True
     reps = 3
     gate = None
     log_path = None
     container = "png"
-    for a in sys.argv[2:]:
+    for a in flag_args(sys.argv):
         if a.startswith("--levels="):
-            lo_cpus, hi_cpus = (int(x) for x in a.split("=")[1].split(","))
+            lo_cpus, hi_cpus = (int(x) for x in flag_value(a).split(","))
         if a == "--no-aqe":
             aqe = False
         if a.startswith("--reps="):
-            reps = int(a.split("=")[1])
+            reps = int(flag_value(a))
         if a.startswith("--gate-load="):
-            gate = float(a.split("=")[1])
+            gate = float(flag_value(a))
         if a.startswith("--append-log="):
-            log_path = a.split("=")[1]
+            log_path = flag_value(a)
         if a.startswith("--container="):
-            container = a.split("=")[1]
+            container = flag_value(a)
     dirty_load = gate if gate is not None else 3.0
     # the sandbox host is a shared hypervisor with 2-3x wall-clock noise
     # between identical runs — ALTERNATE the two levels and take medians
@@ -197,7 +181,7 @@ def main() -> None:
     for i in range(reps):
         order = (lo_cpus, hi_cpus) if i % 2 == 0 else (hi_cpus, lo_cpus)
         for cpus in order:
-            load_before = _wait_idle(gate)
+            load_before = wait_idle(gate)
             r = run_one(repo, cpus, n, aqe, container)
             r["load_before"] = load_before
             r["tenant_cores"] = round(r["busy_cores"] - cpus, 1)

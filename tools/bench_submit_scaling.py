@@ -21,35 +21,11 @@ import os
 import subprocess
 import sys
 import tempfile
-import time
-import zipfile
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from benchlib import build_zip, flag_args, flag_value, positional_n, wait_idle
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def build_zip(path: str) -> None:
-    pkg = os.path.join(REPO, "deduper_spark")
-    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
-        for root, _dirs, files in os.walk(pkg):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, REPO))
-
-
-def _load1() -> float:
-    return float(open("/proc/loadavg").read().split()[0])
-
-
-def _wait_idle(gate: float | None, timeout_s: int = 1800) -> float:
-    load = _load1()
-    if gate is None:
-        return load
-    t0 = time.time()
-    while load >= gate and time.time() - t0 < timeout_s:
-        time.sleep(15)
-        load = _load1()
-    return load
 
 
 def run_leg(zip_path: str, cpus: int, n: int, workdir: str) -> dict:
@@ -84,30 +60,29 @@ def run_leg(zip_path: str, cpus: int, n: int, workdir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() \
-        else 100_000
+    n = positional_n(sys.argv, 100_000)
     lo, hi = 8, 32
     reps = 2
     gate = None
     log_path = None
-    for a in sys.argv[2:]:
+    for a in flag_args(sys.argv):
         if a.startswith("--levels="):
-            lo, hi = (int(x) for x in a.split("=")[1].split(","))
+            lo, hi = (int(x) for x in flag_value(a).split(","))
         if a.startswith("--reps="):
-            reps = int(a.split("=")[1])
+            reps = int(flag_value(a))
         if a.startswith("--gate-load="):
-            gate = float(a.split("=")[1])
+            gate = float(flag_value(a))
         if a.startswith("--append-log="):
-            log_path = a.split("=")[1]
+            log_path = flag_value(a)
 
     with tempfile.TemporaryDirectory() as tmp:
         zip_path = os.path.join(tmp, "deduper_spark.zip")
-        build_zip(zip_path)
+        build_zip(REPO, zip_path)
         runs: dict[int, list[dict]] = {lo: [], hi: []}
         for i in range(reps):
             order = (lo, hi) if i % 2 == 0 else (hi, lo)
             for cpus in order:
-                load_before = _wait_idle(gate)
+                load_before = wait_idle(gate)
                 r = run_leg(zip_path, cpus, n, tmp)
                 r["load_before"] = load_before
                 runs[cpus].append(r)

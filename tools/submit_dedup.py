@@ -69,6 +69,20 @@ def main() -> None:
         # CC keep-first clusters (no captions, no ingestion table)
         from deduper_spark.operators.multimodal import dedup_image_dir
 
+        if args.psnr_mode or args.no_json or args.checkpoint_dir:
+            print("note: --psnr-mode/--no-json/--checkpoint-dir apply "
+                  "to the table pipeline only, not --image-dir",
+                  file=sys.stderr)
+        if args.warmup:
+            # same steady-state exclusion as the table path: a tiny
+            # throwaway clustering pays the one-time JVM codegen /
+            # Arrow / Python-worker-fork costs outside the timed window
+            from deduper_spark.synth import make_df as _mk
+
+            _w = _mk(spark, args.seed + 1, 1000).persist()
+            _w.count()
+            DedupPipeline(DedupConfig()).run(spark, _w)
+            _w.unpersist()
         t0 = time.time()
         clusters = dedup_image_dir(spark, args.image_dir).persist()
         n_files = clusters.count()
