@@ -813,3 +813,67 @@ def test_image_features_from_source_null_rows_isolate(spark):
     out = (image_features_from_source(df).toPandas()
            .set_index("id")["decode_ok"].to_dict())
     assert out == {"nullbuf": False, "nulldims": False, "ok": True}
+
+
+def test_image_features_from_source_fuzz_never_throws(spark):
+    """200 adversarial (h, w, nchannels, buffer) combinations — random
+    dims vs buffer-length mismatches, huge claimed dims, zero sizes —
+    must all come back as rows (decode_ok true iff the row is
+    consistent), never a task error."""
+    import pandas as pd
+
+    from deduper_spark.operators.multimodal import image_features_from_source
+
+    rng = np.random.default_rng(29)
+    rows = []
+    for i in range(200):
+        h = int(rng.integers(-2, 6))
+        w = int(rng.integers(-2, 6))
+        nch = int(rng.integers(-1, 6))
+        blen = int(rng.integers(0, 80))
+        rows.append((f"r{i:03d}", h, w, nch, 16,
+                     bytearray(rng.integers(0, 256, blen, dtype=np.uint8))))
+        if i % 37 == 0:  # huge claimed dims, tiny buffer
+            rows.append((f"big{i:03d}", 1 << 20, 1 << 20, 3, 16,
+                         bytearray(b"\x00" * 8)))
+    pdf = pd.DataFrame(rows, columns=["origin", "h", "w", "nchannels",
+                                      "mode", "data"])
+    out = (image_features_from_source(spark.createDataFrame(pdf))
+           .toPandas().set_index("id"))
+    assert len(out) == len(rows)
+    for _, (rid, h, w, nch, _m, buf) in pdf.iterrows():
+        consistent = (h > 0 and w > 0 and nch in (1, 3, 4)
+                      and len(buf) == h * w * nch)
+        assert out.loc[rid, "decode_ok"] == consistent, rid
+
+
+def test_dedup_image_dir_recursive(spark, tmp_path):
+    """recursive=True picks up images in nested directories; the
+    default (False) sees only the top level."""
+    from deduper_spark.functions.png import encode_png
+    from deduper_spark.operators.multimodal import dedup_image_dir
+
+    rng = np.random.default_rng(31)
+
+    def pic():
+        return np.kron(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8),
+                       np.ones((8, 8, 1), dtype=np.uint8))
+
+    d = tmp_path / "corpus"
+    (d / "sub").mkdir(parents=True)
+    top = pic()
+    (d / "top.png").write_bytes(encode_png(top))
+    (d / "sub" / "nested.png").write_bytes(encode_png(pic()))
+    (d / "sub" / "topcopy.png").write_bytes(encode_png(top))
+
+    assert dedup_image_dir(spark, str(d)).count() == 1
+    out = dedup_image_dir(spark, str(d), recursive=True).toPandas()
+    assert len(out) == 3
+    out["name"] = out["id"].str.rsplit("/", n=1).str[-1]
+    by = out.set_index("name")
+    # keep-first = min full path: 'corpus/sub/topcopy.png' sorts
+    # before 'corpus/top.png', so the NESTED copy is the survivor
+    assert by.loc["top.png", "cluster_id"].endswith("topcopy.png")
+    assert not by.loc["top.png", "keep"]
+    assert by.loc["topcopy.png", "keep"]
+    assert by.loc["nested.png", "keep"]
