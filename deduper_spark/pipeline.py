@@ -131,6 +131,23 @@ class DedupPipeline:
         self.metrics.append(entry)
         return out
 
+    def hash_keys(self, df: DataFrame) -> list[str]:
+        """The exact-key column list the pipeline actually hashes:
+        ``config.hash_keys`` in user order (reference hashKeys contract,
+        Config.kt:19-24), validated against the input columns; empty ⇒
+        the pipeline default ("caption", "phash") — NOT "all columns"
+        as in the reference's tabular mode (Deduper.kt:181-186), because
+        the image table's `bytes` column in an MD5 key would force the
+        full payload through the features stage."""
+        keys = list(self.config.hash_keys) or ["caption", "phash"]
+        missing = [c for c in keys if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"hash_keys {missing} not found in source columns "
+                f"{df.columns}"
+            )
+        return keys
+
     def features(self, df: DataFrame) -> DataFrame:
         """Narrow stage: all signatures in one projection (no shuffle).
         `bytes` is intentionally NOT carried — it re-enters only in the
@@ -140,24 +157,27 @@ class DedupPipeline:
         minimum — hashes, buckets, fingerprints, and norm_caption (for
         the substring family)."""
         cfg = self.config.fuzzy
-        out = df.select(
+        keys = self.hash_keys(df)
+        # exact_hash is computed over the SOURCE columns (so any user
+        # key column works), except caption contributes its coalesced
+        # form — null and '' captions share one key, matching the
+        # stringified-row parity the oracle queries pin
+        keyed = df.withColumn(
+            "caption", F.coalesce(F.col("caption"), F.lit(""))
+        )
+        out = keyed.select(
             F.col(self.config.order_col).alias("id"),
             # null captions tolerated (reference null test,
             # DeduperTest.kt:353-392): normalize over '' not null
-            F.coalesce(F.col("caption"), F.lit("")).alias("caption"),
+            "caption",
             "phash",
-            normalize_expr(F.coalesce(F.col("caption"), F.lit(""))).alias(
-                "norm_caption"
-            ),
+            normalize_expr(F.col("caption")).alias("norm_caption"),
+            md5_key_expr(keys).alias("exact_hash"),
         )
         out = out.withColumn("tokens", tokens_expr("norm_caption"))
         out = out.withColumn(
             "shingle_hashes",
             shingle_hashes_expr(shingles_expr("tokens", cfg.shingle_k)),
-        )
-        out = out.withColumn(
-            "exact_hash",
-            md5_key_expr(["caption", "phash"]),
         )
         if "minhash" in self.families:
             # signature + banding FUSED inside the UDF: the Arrow
@@ -358,11 +378,14 @@ class DedupPipeline:
         row's stringified exact key and its MD5 — config sanity check."""
         from deduper_spark.functions.keys import stringify_expr
 
+        keys = self.hash_keys(df)
         row = (
-            df.orderBy(self.config.order_col)
+            df.withColumn("caption",
+                          F.coalesce(F.col("caption"), F.lit("")))
+            .orderBy(self.config.order_col)
             .select(
-                stringify_expr(["caption", "phash"]).alias("s"),
-                md5_key_expr(["caption", "phash"]).alias("h"),
+                stringify_expr(keys).alias("s"),
+                md5_key_expr(keys).alias("h"),
             )
             .limit(1)
             .collect()[0]
@@ -545,7 +568,7 @@ class DedupPipeline:
         # (reference: DeduperTest.kt:408-412)
         report = DedupeReport(
             record_count=n_records + pre_rows,
-            hash_columns=["caption", "phash"],
+            hash_columns=self.hash_keys(df),
             columns_found=df.columns,
             dupe_count=(n_records - n_survivors) + pre_rows,
             distinct_dupe_count=n_groups + pre_groups,
