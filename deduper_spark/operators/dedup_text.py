@@ -108,6 +108,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         prefix_tokens: int = 5,
                         threshold: float = 0.5,
                         max_block_size: int = 2000,
+                        max_task_rows: int = 512,
                         return_dropped: bool = False):
     """Blocked exact n-gram Jaccard (SQL-expressible — the DuckDB
     oracle recomputes it): block on the first ``prefix_tokens`` tokens,
@@ -123,11 +124,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     (``return_dropped=True`` -> (pairs, dropped(block, block_size))) so
     the caller can meter skipped work, matching candidate_pairs.
 
-    NOTE ``max_block_size`` is ALSO the task-size knob: an admitted
-    block pairs quadratically inside one task (worst case
-    max_block_size²/2 ≈ 2M gram-set comparisons at the default 2000).
-    Lower it to bound task wall-time on wide-shingle corpora; raise it
-    only with matching executor headroom."""
+    Task-size control: an admitted block of size s is s(s-1)/2 exact
+    gram-set comparisons, and before round 5 they all landed in ONE
+    task (worst case max_block_size²/2 ≈ 2M at the default 2000).
+    Blocks larger than ``max_task_rows`` are now spread by the SAME
+    triangle-block decomposition as hamming_candidate_pairs
+    (lsh.py:187-229): each member gets a sub-block index
+    u = pmod(xxhash64(id), n_sub) with n_sub = ceil(s/max_task_rows)
+    and replicates into the blocks {(min(u,k), max(u,k)) : k < n_sub},
+    so EVERY intra-block pair lands in exactly one (bu, bv) cell —
+    the all-pairs semantics the DuckDB oracle checks are preserved
+    bit-for-bit while per-cell work is bounded by ~max_task_rows².
+    Cold blocks (s <= max_task_rows) take the same path with n_sub=1
+    — a single (0,0) cell, no row multiplication."""
     feats = (
         df.select(F.col(id_col).alias("id"), normalize_expr(text_col).alias("t"))
         .withColumn("toks", F.split("t", " "))
@@ -138,22 +147,50 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     sizes = feats.groupBy("block").agg(F.count("*").alias("block_size"))
     admitted = sizes.where(
         (F.col("block_size") > 1) & (F.col("block_size") <= max_block_size)
-    ).select("block")
+    )
     dropped = sizes.where(F.col("block_size") > max_block_size)
-    blocked = feats.join(admitted, "block", "left_semi")
-    left = blocked.select(F.col("id").alias("id_l"), "block",
-                          F.col("grams").alias("g_l"))
-    right = blocked.select(F.col("id").alias("id_r"), "block",
-                           F.col("grams").alias("g_r"))
+    n_sub = F.ceil(F.col("block_size") / F.lit(max_task_rows)).cast("int")
+    b = (
+        feats.join(admitted, "block")
+        .withColumn("n_sub", n_sub)
+        .withColumn("u", F.pmod(F.xxhash64("id"), F.col("n_sub")).cast("int"))
+        .drop("block_size")
+    )
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("n_sub") - 1),
+        lambda j: F.struct(
+            F.least(F.col("u"), j).alias("bu"),
+            F.greatest(F.col("u"), j).alias("bv"),
+        ),
+    )
+    b = (b.select("id", "block", "grams", "u", F.explode(blocks).alias("blk"))
+         .select("id", "block", "grams", "u",
+                 F.col("blk.bu").alias("bu"), F.col("blk.bv").alias("bv")))
+    jkey = ["block", "bu", "bv"]
+    left = (b.where(F.col("u") == F.col("bu"))
+            .select(*jkey, F.col("id").alias("id_l"),
+                    F.col("grams").alias("g_l")))
+    right = (b.where(F.col("u") == F.col("bv"))
+             .select(*jkey, F.col("id").alias("id_r"),
+                     F.col("grams").alias("g_r")))
     inter = F.size(F.array_intersect("g_l", "g_r"))
     union = F.size(F.array_union("g_l", "g_r"))
+    # diagonal cells pair a sub-block with itself: dedup by id order.
+    # Cross cells meet each pair exactly once by construction, but a
+    # legit pair may arrive as id_l > id_r — canonicalize after the
+    # jaccard (which is symmetric) so the output contract (id_l < id_r)
+    # holds either way.
+    pair_filter = (F.col("bu") != F.col("bv")) | (F.col("id_l") < F.col("id_r"))
     pairs = (
-        left.join(right, "block")
-        .where(F.col("id_l") < F.col("id_r"))
+        left.join(right, jkey)
+        .where(pair_filter)
         .withColumn("jaccard", F.round(inter / F.greatest(union, F.lit(1)), 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_l", "id_r", "jaccard")
+        .select(F.least("id_l", "id_r").alias("id_l"),
+                F.greatest("id_l", "id_r").alias("id_r"),
+                "jaccard")
     )
+    dropped = dropped.select("block", "block_size")
     return (pairs, dropped) if return_dropped else pairs
 
 

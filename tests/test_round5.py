@@ -3,6 +3,9 @@
 1. DedupConfig.hash_keys drives the flagship pipeline (was a silent
    no-op — the documented knob, config.py:72, reference hashKeys
    contract Config.kt:19-24, was ignored by DedupPipeline.features()).
+2. ngram_jaccard_pairs spreads large admitted blocks with the
+   triangle-block decomposition (exactly-once pair semantics
+   preserved; per-cell comparison count bounded).
 """
 
 from __future__ import annotations
@@ -81,3 +84,61 @@ def test_hash_keys_incremental_preload(spark, tiny, tmp_path):
     assert {r["image_id"] for r in res.survivors.collect()} == {"img-002"}
     assert res.report.dupe_count == 2
     assert res.report.record_count == 3
+
+
+# ---------------------------------------------------------------- ngram
+
+
+def _ngram_corpus(spark, n=40):
+    # one shared 5-token prefix => a single block of n rows; suffixes
+    # vary so jaccards differ
+    rows = [
+        (f"doc_{i:03d}",
+         "alpha beta gamma delta epsilon " + " ".join(
+             f"w{(i * 7 + j) % 13}" for j in range(6)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_ngram_triangle_blocks_exact_parity(spark):
+    """Decomposed (max_task_rows=10 over a 40-row block => n_sub=4)
+    emits exactly the same pair set as the single-cell run — every
+    intra-block pair exactly once."""
+    from deduper_spark.operators.dedup_text import ngram_jaccard_pairs
+
+    df = _ngram_corpus(spark, 40)
+    split = ngram_jaccard_pairs(df, threshold=0.0, max_task_rows=10)
+    whole = ngram_jaccard_pairs(df, threshold=0.0, max_task_rows=10**9)
+    got = {(r["id_l"], r["id_r"], r["jaccard"]) for r in split.collect()}
+    want = {(r["id_l"], r["id_r"], r["jaccard"]) for r in whole.collect()}
+    assert got == want
+    assert len(got) == 40 * 39 // 2          # all pairs, each once
+    assert all(a < b for a, b, _ in got)     # canonical order held
+
+
+def test_ngram_triangle_blocks_bound_per_cell(spark):
+    """No (bu, bv) cell carries more than ~max_task_rows rows per side:
+    replicate the decomposition's u-assignment and check the cell
+    comparison counts against the one-task quadratic."""
+    from pyspark.sql import functions as F
+
+    n, max_task_rows = 40, 10
+    df = _ngram_corpus(spark, n).select(F.col("doc_id").alias("id"))
+    n_sub = -(-n // max_task_rows)  # 4
+    u = {r["id"]: r["u"] for r in df.select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(n_sub)).cast("int").alias("u")
+    ).collect()}
+    from collections import Counter
+    side = Counter(u.values())
+    cells = Counter()
+    for a in range(n_sub):
+        for b in range(a, n_sub):
+            cells[(a, b)] = (side[a] * (side[a] - 1) // 2 if a == b
+                             else side[a] * side[b])
+    assert sum(cells.values()) == n * (n - 1) // 2  # exact cover
+    # spread: the max cell is far below the single-task quadratic; with
+    # a hash-balanced split each side is ~max_task_rows so the bound is
+    # ~max_task_rows^2 with slack for hash imbalance
+    assert max(cells.values()) <= 4 * max_task_rows * max_task_rows
+    assert max(cells.values()) < n * (n - 1) // 2 / 2
