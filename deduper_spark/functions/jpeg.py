@@ -568,7 +568,16 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     mcus_y = -(-fh // (8 * max_v))
 
     by_id = {c[0]: c for c in comps}
-    for _cs, td, ta in order:
+    for cs, td, ta in order:
+        # validate every scan/frame linkage up front so unsupported or
+        # inconsistent streams raise a named error here, not a wrapped
+        # KeyError/IndexError mid-entropy-decode. The sampling-factor
+        # check above also bounds MCU size to <= 12 blocks, which is
+        # what the _REFILL_MARGIN_BITS sizing assumes (margin note at
+        # its definition).
+        if cs not in by_id:
+            raise ValueError(
+                f"JPEG scan references missing frame component {cs}")
         if (0, td) not in huff or (1, ta) not in huff:
             raise ValueError("JPEG scan references missing DHT")
 

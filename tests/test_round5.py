@@ -142,3 +142,25 @@ def test_ngram_triangle_blocks_bound_per_cell(spark):
     # ~max_task_rows^2 with slack for hash imbalance
     assert max(cells.values()) <= 4 * max_task_rows * max_task_rows
     assert max(cells.values()) < n * (n - 1) // 2 / 2
+
+
+# ------------------------------------------------------------- jpeg SOS
+
+
+def test_jpeg_scan_missing_component_named_error(spark):
+    """A structurally valid JPEG whose SOS references a component id
+    absent from the SOF must raise the NAMED validation error before
+    entropy decode, not a wrapped KeyError (ADVICE r4: validate the
+    scan/frame linkage up front)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from deduper_spark.functions import jpeg
+
+    img = np.random.default_rng(0).integers(
+        0, 255, (16, 16, 3)).astype(np.uint8)
+    data = bytearray(jpeg.encode_jpeg(img))
+    j = data.find(b"\xff\xda")
+    data[j + 5] = 9                       # first scan component id -> 9
+    with _pytest.raises(ValueError, match="missing frame component"):
+        jpeg.decode_jpeg(bytes(data))

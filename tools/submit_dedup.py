@@ -74,15 +74,26 @@ def main() -> None:
                   "to the table pipeline only, not --image-dir",
                   file=sys.stderr)
         if args.warmup:
-            # same steady-state exclusion as the table path: a tiny
-            # throwaway clustering pays the one-time JVM codegen /
-            # Arrow / Python-worker-fork costs outside the timed window
-            from deduper_spark.synth import make_df as _mk
+            # warm the PATH UNDER TEST: a throwaway dedup_image_dir run
+            # over a handful of engine PNGs pays the one-time JVM image
+            # source init, javax.imageio decode, and
+            # image_features_from_source codegen outside the timed
+            # window (ADVICE r4: the table-pipeline warmup left all
+            # three cold)
+            import os
+            import tempfile
 
-            _w = _mk(spark, args.seed + 1, 1000).persist()
-            _w.count()
-            DedupPipeline(DedupConfig()).run(spark, _w)
-            _w.unpersist()
+            import numpy as np
+
+            from deduper_spark.functions.png import encode_png
+
+            with tempfile.TemporaryDirectory() as wd:
+                rng = np.random.default_rng(args.seed + 1)
+                for i in range(8):
+                    px = rng.integers(0, 255, (24, 24, 3)).astype(np.uint8)
+                    with open(os.path.join(wd, f"w{i}.png"), "wb") as f:
+                        f.write(encode_png(px))
+                dedup_image_dir(spark, wd).where("keep").count()
         t0 = time.time()
         clusters = dedup_image_dir(spark, args.image_dir).persist()
         n_files = clusters.count()
