@@ -164,3 +164,207 @@ def test_jpeg_scan_missing_component_named_error(spark):
     data[j + 5] = 9                       # first scan component id -> 9
     with _pytest.raises(ValueError, match="missing frame component"):
         jpeg.decode_jpeg(bytes(data))
+
+
+# ---------------------------------------------------- streaming fuzzy
+
+
+def _wait(q):
+    import time
+
+    q.awaitTermination(120)
+    for _ in range(100):
+        if not q.isActive:
+            return
+        time.sleep(0.2)
+
+
+def _feed(spark, src, rows):
+    spark.createDataFrame(rows, "image_id string, phash long") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+
+def test_stream_fuzzy_sizing_reads_snapshot_not_ledger(spark, tmp_path):
+    """Per-batch sizing work is independent of batch COUNT: the guard
+    reads the single latest size snapshot (one partition, constant
+    file count) and never rescans the raw ledger. Snapshot content
+    stays in exact parity with a from-scratch ledger aggregation."""
+    from pyspark.sql import functions as F
+
+    from deduper_spark.streaming.fuzzy import (
+        sizes_snapshot_df,
+        stream_fuzzy_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    metrics = []
+    args = (spark, str(src), "image_id string, phash long",
+            str(tmp_path / "tgt"), str(tmp_path / "ledger"),
+            str(tmp_path / "ckpt"), "image_id", "phash")
+    file_counts = []
+    for b in range(4):
+        _feed(spark, src, [(f"r{b}_{i}", (b << 32) | (i << 8))
+                           for i in range(6)])
+        _wait(stream_fuzzy_dedup(*args, on_metrics=metrics.append))
+        snap, snap_id = sizes_snapshot_df(
+            spark, str(tmp_path / "ledger_sizes"), 10**9)
+        files = snap.inputFiles()
+        file_counts.append(len(files))
+        assert all(f"batch_id={snap_id}" in f for f in files)
+        assert all("ledger_sizes" in f for f in files)  # never the ledger
+    # constant per-batch sizing input as batches accumulate
+    assert len(set(file_counts)) == 1
+    # batches >= 2 sized from the snapshot, not a ledger rescan
+    assert all(m["sizing_source"].startswith("snapshot:")
+               for m in metrics)
+    # exact parity with a from-scratch ledger aggregation
+    snap, _ = sizes_snapshot_df(
+        spark, str(tmp_path / "ledger_sizes"), 10**9)
+    want = {(r["band"], r["bucket"]): r["n"] for r in
+            spark.read.parquet(str(tmp_path / "ledger"))
+            .groupBy("band", "bucket").agg(F.count("*").alias("n"))
+            .collect()}
+    got = {(r["band"], r["bucket"]): r["lsz"] for r in snap.collect()}
+    assert got == want
+    # old snapshots pruned: at most the read-base and the latest remain
+    from deduper_spark.streaming.fuzzy import _snapshot_ids
+    assert len(_snapshot_ids(spark, str(tmp_path / "ledger_sizes"))) <= 2
+
+
+def test_stream_fuzzy_sizes_rebuild_after_deletion(spark, tmp_path):
+    """Deleting the sizes dir triggers the documented one-time repair:
+    the next batch sizes from the raw ledger (sizing_source=rebuild)
+    and writes back a COMPLETE snapshot, after which steady state
+    resumes."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from deduper_spark.streaming.fuzzy import (
+        sizes_snapshot_df,
+        stream_fuzzy_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    metrics = []
+    args = (spark, str(src), "image_id string, phash long",
+            str(tmp_path / "tgt"), str(tmp_path / "ledger"),
+            str(tmp_path / "ckpt"), "image_id", "phash")
+    _feed(spark, src, [("a1", 1 << 40), ("a2", 1 << 50)])
+    _wait(stream_fuzzy_dedup(*args, on_metrics=metrics.append))
+    shutil.rmtree(tmp_path / "ledger_sizes")
+    _feed(spark, src, [("b1", 1 << 20)])
+    _wait(stream_fuzzy_dedup(*args, on_metrics=metrics.append))
+    assert metrics[-1]["sizing_source"] == "rebuild"
+    snap, _ = sizes_snapshot_df(
+        spark, str(tmp_path / "ledger_sizes"), 10**9)
+    want = {(r["band"], r["bucket"]): r["n"] for r in
+            spark.read.parquet(str(tmp_path / "ledger"))
+            .groupBy("band", "bucket").agg(F.count("*").alias("n"))
+            .collect()}
+    got = {(r["band"], r["bucket"]): r["lsz"] for r in snap.collect()}
+    assert got == want                       # repaired snapshot complete
+    _feed(spark, src, [("c1", 1 << 10)])
+    _wait(stream_fuzzy_dedup(*args, on_metrics=metrics.append))
+    assert metrics[-1]["sizing_source"].startswith("snapshot:")
+
+
+def test_stream_fuzzy_bucketed_ledger_table(spark, tmp_path):
+    """ledger_table mode: same dedup results as the parquet-dir mode,
+    and the cold probe join consumes the table's bucket layout — zero
+    Exchange above the bucketed ledger scan."""
+    from pyspark.sql import functions as F
+
+    from deduper_spark.streaming.fuzzy import (
+        _band_rows,
+        cold_probe_join,
+        sizes_snapshot_df,
+        stream_fuzzy_dedup,
+    )
+
+    P, Q, R = 0x0123456789ABCDEF, 0x7EDCBA9876543210, 0x00FF00FF00FF00FF
+    src = tmp_path / "src"
+    src.mkdir()
+    args = (spark, str(src), "image_id string, phash long",
+            str(tmp_path / "tgt"), str(tmp_path / "ledger"),
+            str(tmp_path / "ckpt"), "image_id", "phash")
+    try:
+        _feed(spark, src, [("a1", P), ("a2", Q), ("a3", P ^ 1)])
+        _wait(stream_fuzzy_dedup(*args, ledger_table="led_r5"))
+        _feed(spark, src, [("b1", P ^ 0b111), ("b2", Q), ("b3", R),
+                           ("b4", R ^ 2)])
+        _wait(stream_fuzzy_dedup(*args, ledger_table="led_r5"))
+        tgt = spark.read.parquet(str(tmp_path / "tgt"))
+        # identical retention to test_stream_fuzzy_dedup_cross_batch
+        assert {r["image_id"] for r in tgt.collect()} == {"a1", "a2", "b3"}
+        led = spark.table("led_r5")
+        assert {r["image_id"] for r in
+                led.select("image_id").distinct().collect()} == {
+            "a1", "a2", "b3"}
+
+        # plan: rebuild the guard's cold probe join against the table
+        # and assert the ledger side is consumed in place
+        old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            batch = spark.createDataFrame(
+                [("p1", P ^ 2)], "image_id string, phash long")
+            bands = _band_rows(batch, "image_id", "phash", 16, 3)
+            ledger = led.select("band", "bucket",
+                                F.col("val").alias("val_r"))
+            cold, _ = sizes_snapshot_df(
+                spark, str(tmp_path / "ledger_sizes"), 10**9)
+            seen = cold_probe_join(
+                bands, ledger, cold.select("band", "bucket"), 3)
+            plan = seen._jdf.queryExecution().executedPlan().toString()
+            assert "SelectedBucketsCount: 16 out of 16" in plan
+            # the bucketed ledger scan must not sit under ANY Exchange:
+            # walk its ancestor chain by tree indentation (a node's
+            # ancestors are the nearest lines above whose branch marker
+            # sits further left) and assert none is an Exchange —
+            # probe/cold sides are free to shuffle (they are O(batch))
+            lines = plan.splitlines()
+
+            def _depth(ln):
+                for m in (":- ", "+- "):
+                    if m in ln:
+                        return ln.index(m)
+                return -1           # root
+
+            scan_i = next(i for i, ln in enumerate(lines)
+                          if "Bucketed: true" in ln)
+            d = _depth(lines[scan_i])
+            ancestors = []
+            for i in range(scan_i - 1, -1, -1):
+                di = _depth(lines[i])
+                if di < d:
+                    ancestors.append(lines[i])
+                    d = di
+                if d == -1:
+                    break
+            assert ancestors, plan
+            assert not any("Exchange" in a for a in ancestors), \
+                "\n".join(ancestors)
+            n_rows = seen.count()
+            assert n_rows >= 1               # p1 within Hamming 1 of P
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS led_r5")
+
+
+def test_compact_absent_target_honors_id_type(spark, tmp_path):
+    """Empty-path return schema must match the populated path for
+    non-string id columns (ADVICE r4)."""
+    from deduper_spark.streaming.fuzzy import compact_streaming_output
+
+    out = compact_streaming_output(
+        spark, str(tmp_path / "never_written"), "doc_id", "fp",
+        id_type="bigint")
+    assert dict(out.dtypes)["doc_id"] == "bigint"
+    assert out.count() == 0
