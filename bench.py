@@ -30,6 +30,45 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    parts = open("/proc/stat").readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return sum(vals), vals[3] + vals[4]       # (total, idle+iowait)
+
+
+def _load1() -> float:
+    return float(open("/proc/loadavg").read().split()[0])
+
+
+class _HostLabels:
+    """Per-query host-state labels (round-4 verdict task 5: the bench
+    must self-label tenant noise so a wall-clock swing on an identical
+    plan adjudicates itself). For each timed window: 1-min load BEFORE
+    the query, host-wide busy-core average OVER the window (own job +
+    tenants), and a clean/dirty verdict — clean iff load_before < 3.0,
+    the same ungated threshold tools/bench_scaling.py uses."""
+
+    CLEAN_LOAD = 3.0
+
+    def __init__(self) -> None:
+        self.labels: dict[str, dict] = {}
+        self._t = None
+
+    def start(self, name: str) -> None:
+        self._pending = (name, _load1(), _cpu_jiffies())
+
+    def stop(self) -> None:
+        name, load_before, (tot0, idle0) = self._pending
+        tot1, idle1 = _cpu_jiffies()
+        busy = ((tot1 - tot0) - (idle1 - idle0)) / max(tot1 - tot0, 1) \
+            * (os.cpu_count() or 1)
+        self.labels[name] = {
+            "load_before": round(load_before, 2),
+            "busy_cores": round(busy, 1),
+            "clean": load_before < self.CLEAN_LOAD,
+        }
+
+
 def _stage_count(spark, group: str) -> int:
     """Distinct stages executed under a job group — the regression pin:
     wall time swings 2-3x with tenant noise, stage-count creep does not."""
@@ -47,6 +86,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf_from_dir(sf_dir)
     no_aqe = "--no-aqe" in sys.argv
+    launch_load = round(_load1(), 2)
 
     from deduper_spark.session import get_spark
 
@@ -81,11 +121,14 @@ def main() -> None:
         "event_sessions",
     ]
     stage_counts: dict[str, int] = {}
+    host = _HostLabels()
     for name in headline:
         spark.sparkContext.setJobGroup(name, name)
+        host.start(name)
         t0 = time.time()
         _force(qfns[name](spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
+        host.stop()
         stage_counts[name] = _stage_count(spark, name)
 
     # ---- flagship: image near-dup pipeline at sf-scaled corpus ---------
@@ -114,6 +157,7 @@ def main() -> None:
     _w.unpersist()
     spark.sparkContext.setJobGroup("image_dedup_pipeline",
                                    "image_dedup_pipeline")
+    host.start("image_dedup_pipeline")
     t0 = time.time()
     # audit PSNR = the production path (capped fidelity sample);
     # exhaustive pixel verification is exercised by the test suite
@@ -127,6 +171,7 @@ def main() -> None:
     ).run(spark, df)
     _force(res.clusters)
     image_sec = round(time.time() - t0, 3)
+    host.stop()
     timings["image_dedup_pipeline"] = image_sec
     stage_counts["image_dedup_pipeline"] = _stage_count(
         spark, "image_dedup_pipeline")
@@ -141,9 +186,11 @@ def main() -> None:
     adf = make_audio_df(spark, seed=42, n=n_audio).persist()
     adf.count()  # synth outside the timed window (decode IS timed)
     spark.sparkContext.setJobGroup("audio_dedup", "audio_dedup")
+    host.start("audio_dedup")
     t0 = time.time()
     _force(audio_dedup_pairs(adf))
     audio_sec = round(time.time() - t0, 3)
+    host.stop()
     timings["audio_dedup"] = audio_sec
     stage_counts["audio_dedup"] = _stage_count(spark, "audio_dedup")
     adf.unpersist()
@@ -157,9 +204,11 @@ def main() -> None:
     vdf = make_video_df(spark, seed=42, n=n_video).persist()
     vdf.count()  # synth outside the timed window (decode IS timed)
     spark.sparkContext.setJobGroup("video_dedup", "video_dedup")
+    host.start("video_dedup")
     t0 = time.time()
     _force(video_dedup_pairs(vdf, every_n=2))
     video_sec = round(time.time() - t0, 3)
+    host.stop()
     timings["video_dedup"] = video_sec
     stage_counts["video_dedup"] = _stage_count(spark, "video_dedup")
     vdf.unpersist()
@@ -180,6 +229,12 @@ def main() -> None:
         "cpus": cpus,
         "aqe": not no_aqe,
         "stages": stage_counts,
+        "host": {
+            "launch_load1": launch_load,
+            "cpu_count": os.cpu_count(),
+            "labels": host.labels,
+            "clean_run": all(v["clean"] for v in host.labels.values()),
+        },
     }
     spark.stop()
     print(json.dumps(out))
