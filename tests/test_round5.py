@@ -368,3 +368,25 @@ def test_compact_absent_target_honors_id_type(spark, tmp_path):
         id_type="bigint")
     assert dict(out.dtypes)["doc_id"] == "bigint"
     assert out.count() == 0
+
+
+def test_hash_keys_can_include_order_col(spark, tiny):
+    """order_col is a legal hash key: features computes the key over
+    the SOURCE columns before the id rename."""
+    res = _run(spark, tiny, hash_keys=("image_id", "caption"))
+    assert res.report.hash_columns == ["image_id", "caption"]
+    # ids are unique => no dupes even with a shared caption
+    assert res.report.dupe_count == 0
+    assert res.report.hash_count == 3
+
+
+def test_sizes_snapshot_df_empty_states(spark, tmp_path):
+    from deduper_spark.streaming.fuzzy import sizes_snapshot_df
+
+    df, sid = sizes_snapshot_df(spark, str(tmp_path / "absent"), 5)
+    assert df is None and sid is None
+    d = tmp_path / "present"
+    d.mkdir()
+    (d / "not_a_partition").mkdir()
+    df, sid = sizes_snapshot_df(spark, str(d), 5)
+    assert df is None and sid is None
