@@ -44,28 +44,44 @@ class _HostLabels:
     """Per-query host-state labels (round-4 verdict task 5: the bench
     must self-label tenant noise so a wall-clock swing on an identical
     plan adjudicates itself). For each timed window: 1-min load BEFORE
-    the query, host-wide busy-core average OVER the window (own job +
-    tenants), and a clean/dirty verdict — clean iff load_before < 3.0,
-    the same ungated threshold tools/bench_scaling.py uses."""
+    the query, an INSTANTANEOUS busy-core sample BEFORE the query
+    (200 ms /proc/stat delta while our own session is idle — pure
+    tenant signal; 1-min load lags by minutes and mislabels the decay
+    tail of a burst as dirty), the host-wide busy-core average OVER
+    the window (own job + tenants), and the clean verdict:
+    busy_before <= 4 tenant cores, falling back to load_before < 3.0
+    (the ungated tools/bench_scaling.py threshold) when the sample is
+    high — both must look dirty for the label to be dirty."""
 
     CLEAN_LOAD = 3.0
+    CLEAN_TENANT_CORES = 4.0
 
     def __init__(self) -> None:
         self.labels: dict[str, dict] = {}
-        self._t = None
+
+    @staticmethod
+    def _busy_sample(dt: float = 0.2) -> float:
+        tot0, idle0 = _cpu_jiffies()
+        time.sleep(dt)
+        tot1, idle1 = _cpu_jiffies()
+        return ((tot1 - tot0) - (idle1 - idle0)) / max(tot1 - tot0, 1) \
+            * (os.cpu_count() or 1)
 
     def start(self, name: str) -> None:
-        self._pending = (name, _load1(), _cpu_jiffies())
+        self._pending = (name, _load1(), self._busy_sample(),
+                         _cpu_jiffies())
 
     def stop(self) -> None:
-        name, load_before, (tot0, idle0) = self._pending
+        name, load_before, busy_before, (tot0, idle0) = self._pending
         tot1, idle1 = _cpu_jiffies()
         busy = ((tot1 - tot0) - (idle1 - idle0)) / max(tot1 - tot0, 1) \
             * (os.cpu_count() or 1)
         self.labels[name] = {
             "load_before": round(load_before, 2),
+            "busy_before": round(busy_before, 1),
             "busy_cores": round(busy, 1),
-            "clean": load_before < self.CLEAN_LOAD,
+            "clean": (busy_before <= self.CLEAN_TENANT_CORES
+                      or load_before < self.CLEAN_LOAD),
         }
 
 
