@@ -302,6 +302,96 @@ def q_doc_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_doc_chunk_dedup(spark, sf_dir):
+    """Span-level exact dedup (C4/CCNet-style duplicate-span removal):
+    10-token chunks, global keep-first by (doc_id, position), documents
+    reassembled from surviving chunks. Aug plants full copies (every
+    9th doc — all chunks drop, the doc disappears) and half-overlap
+    copies (every 11th doc — first 30 tokens drop, novel tail
+    survives), exercising both removal shapes."""
+    from deduper_spark.operators.prune import chunk_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    full = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    half = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " "),
+            F.lit(" unique tail marker "), F.col("doc_id").cast("string"),
+        ).alias("text"))
+    aug = d.unionByName(full).unionByName(half)
+    return chunk_dedup(aug, "doc_id", "text", chunk_words=10).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_dedup", "n_chunks", "n_kept")
+
+
+def q_doc_cluster_assign(spark, sf_dir):
+    """Near-dup CLUSTER ASSIGNMENT for every doc: transitive closure
+    over verified MinHash-LSH pairs via the alternating-star CC
+    operator, singletons labeling themselves. The oracle recomputes the
+    closure with a RECURSIVE CTE over the exact-Jaccard pair set — the
+    first driver check of the CC operator against an independent
+    transitive-closure implementation (image_dedup_clusters checks
+    against planted truth instead)."""
+    from deduper_spark.config import FuzzyConfig
+    from deduper_spark.operators.dedup_text import minhash_doc_clusters
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
+    )
+    aug = d.unionByName(near)
+    cfg = FuzzyConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7)
+    return minhash_doc_clusters(aug, "doc_id", "text", cfg).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+def q_doc_fuzzy_survivors(spark, sf_dir):
+    """Fuzzy keep-first survivor selection: drop every doc whose
+    verified n-gram-Jaccard neighborhood (>= 0.3, same blocked
+    predicate as doc_ngram_jaccard) contains a smaller doc_id."""
+    from deduper_spark.operators.dedup_text import ngram_jaccard_pairs
+    from deduper_spark.operators.prune import drop_near_duplicates
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz extra tail token")).alias("text"),
+    )
+    aug = d.unionByName(near)
+    pairs = ngram_jaccard_pairs(aug, "doc_id", "text", k=3, prefix_tokens=5,
+                                threshold=0.3)
+    return drop_near_duplicates(aug.select("doc_id"), pairs, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"))
+
+
+def q_semantic_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup: survivors with no smaller-id
+    neighbor at cosine >= 0.99, candidates from multiprobe hyperplane
+    LSH (same blocker recall contract as emb_cosine_dups — the oracle
+    is the unblocked all-pairs predicate in NOT-IN form)."""
+    from deduper_spark.operators.prune import semantic_prune
+
+    aug = _emb_aug(spark, sf_dir)
+    return semantic_prune(aug, "vec_id", "embedding", threshold=0.99).select(
+        F.col("vec_id").cast("long").alias("vec_id"))
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-3 tf-idf terms per doc; score = tf * ln((N+1)/(df+1))
+    rounded to 6 decimals, ties broken by term ascending (total order,
+    engine-independent)."""
+    from deduper_spark.functions.textstats import tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, "doc_id", "text", k=3).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "rank", "term", "score")
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash-accelerated ORDER-INVARIANT dedup, oracled through the
     exact predicate it verifies (the minhash-query pattern: sketch =
@@ -643,6 +733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "emb_cosine_dups": q_emb_cosine_dups,
         "ann_topk": q_ann_topk,
+        "doc_chunk_dedup": q_doc_chunk_dedup,
+        "doc_cluster_assign": q_doc_cluster_assign,
+        "doc_fuzzy_survivors": q_doc_fuzzy_survivors,
+        "semantic_prune": q_semantic_prune,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
         "pipeline_incremental": q_pipeline_incremental,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_substring_sa": q_doc_substring_sa,
@@ -858,6 +953,137 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE round(list_sum(list_transform(range(64),
                       i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6) >= 0.99
+        """,
+        "doc_chunk_dedup": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0
+                UNION ALL
+                SELECT doc_id + 400000,
+                       array_to_string(string_split(text, ' ')[1:30], ' ')
+                         || ' unique tail marker ' || doc_id::VARCHAR
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
+            c AS (
+                SELECT doc_id, i::BIGINT AS ci,
+                       array_to_string(
+                           toks[(i*10+1)::BIGINT:(i*10+10)::BIGINT], ' '
+                       ) AS chunk
+                FROM t, unnest(range(greatest((len(toks)+9)//10, 1))) AS u(i)
+            ),
+            k AS (SELECT doc_id, ci, chunk,
+                         row_number() OVER (PARTITION BY chunk
+                                            ORDER BY doc_id, ci) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n_chunks
+                  FROM c)
+            SELECT doc_id::BIGINT AS doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci) AS text_dedup,
+                   n_chunks::BIGINT AS n_chunks,
+                   count(*)::BIGINT AS n_kept
+            FROM k WHERE rn = 1 GROUP BY doc_id, n_chunks
+        """,
+        "doc_cluster_assign": f"""
+            WITH RECURSIVE aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz extra tail'
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            f AS (
+                SELECT doc_id, list_distinct({shingles5}) AS sh
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM aug)
+            ),
+            p AS (
+                SELECT a.doc_id AS id_l, b.doc_id AS id_r
+                FROM f a JOIN f b ON a.doc_id < b.doc_id
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                      greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+                      >= 0.7
+            ),
+            e AS (SELECT id_l AS u, id_r AS v FROM p
+                  UNION ALL SELECT id_r, id_l FROM p),
+            reach AS (
+                SELECT doc_id AS id, doc_id AS root FROM aug
+                UNION
+                SELECT e.v AS id, r.root FROM reach r JOIN e ON e.u = r.id
+                WHERE r.root < e.v
+            )
+            SELECT id::BIGINT AS doc_id, min(root)::BIGINT AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        "doc_fuzzy_survivors": f"""
+            WITH aug AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz extra tail token'
+                FROM documents WHERE doc_id % 7 = 0
+            ),
+            g AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(toks, 1, 5), ' ') AS block,
+                       {grams3} AS grams
+                FROM (SELECT doc_id, {_TOKS} AS toks FROM aug)
+            ),
+            p AS (
+                SELECT b.doc_id AS id_r
+                FROM g a JOIN g b ON a.block = b.block AND a.doc_id < b.doc_id
+                WHERE round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                        greatest(len(list_distinct(
+                            list_concat(a.grams, b.grams))), 1), 6) >= 0.3
+            )
+            SELECT doc_id::BIGINT AS doc_id FROM aug
+            WHERE doc_id NOT IN (SELECT id_r FROM p)
+        """,
+        "semantic_prune": """
+            WITH aug AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000, embedding
+                FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            n AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                    x -> x*x))) AS nrm
+                FROM aug
+            ),
+            p AS (
+                SELECT b.vec_id AS id_r
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+                WHERE round(list_sum(list_transform(range(64),
+                          i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6)
+                      >= 0.99
+            )
+            SELECT vec_id::BIGINT AS vec_id FROM aug
+            WHERE vec_id NOT IN (SELECT id_r FROM p)
+        """,
+        "doc_tfidf_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, u.term
+                FROM (SELECT doc_id, {_TOKS} AS t FROM documents),
+                     unnest(t) AS u(term)
+                WHERE u.term <> ''
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dfq AS (SELECT term, count(*)::BIGINT AS dfreq FROM tf
+                    GROUP BY term),
+            n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln((n.n_docs + 1)::DOUBLE /
+                                        (dfq.dfreq + 1)), 6) AS score
+                FROM tf JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id::BIGINT AS doc_id, rnk::BIGINT AS rank, term, score
+            FROM (SELECT doc_id, term, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, term ASC)
+                             AS rnk
+                  FROM scored)
+            WHERE rnk <= 3
         """,
         "pipeline_incremental": """
             WITH aug AS (

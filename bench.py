@@ -132,7 +132,10 @@ def main() -> None:
         "doc_minhash_lsh",
         "doc_ngram_jaccard",
         "doc_substring_sa",
+        "doc_chunk_dedup",
+        "doc_cluster_assign",
         "emb_cosine_dups",
+        "semantic_prune",
         "ann_topk",
         "event_sessions",
     ]

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from deduper_spark.functions.text import shingles_expr
+from deduper_spark.functions.text import normalize_expr, shingles_expr
 
 # tiny fixed stopword lists — deterministic heuristic, not linguistics
 STOPWORDS = {
@@ -128,3 +128,53 @@ def fingerprint_expr(text: str | Column, k: int = 5) -> Column:
     tokens = F.split(F.lower(F.trim(t)), r"\s+")
     sh = shingles_expr(tokens, k)
     return F.array_min(F.transform(sh, lambda s: F.md5(s)))
+
+
+def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 3):
+    """Top-``k`` tf-idf terms per document:
+    (id, rank, term, score) with score = tf * ln((N+1)/(df+1)),
+    rounded to 6 decimals; ties broken by term ascending so the
+    ranking is total and engine-independent (ANSI-mirrorable —
+    the DuckDB oracle recomputes it bit-for-bit).
+
+    Scale shape: tf is one hash Exchange on (id, term) with map-side
+    partial aggregation; document frequency is a second agg keyed on
+    term reusing the SAME exploded frame (no re-scan — Catalyst reuses
+    the child via the join), then a term-keyed join tf ⋈ df. The df
+    table is |vocab| rows — tiny relative to the corpus; AQE converts
+    the join to broadcast at runtime when it fits, and Zipf-hot terms
+    are bounded per-partition because tf is already aggregated (one
+    row per (doc, term), not per occurrence). The final top-k is a
+    row_number window per doc — WindowGroupLimit applies (rank <= k
+    filter), so the per-doc sort is map-side-limited like the
+    keep-first dedup plan (PLANS.md §3).
+
+    N (corpus size) is a scalar aggregate collected on the driver —
+    one count job, no row data.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(normalize_expr(F.coalesce(F.col(text_col),
+                                                    F.lit(""))),
+                          r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs + 1)) /
+                                    (F.col("dfreq") + F.lit(1))), 6),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col),
+                F.col("rank").cast("long").alias("rank"),
+                "term", "score")
+    )

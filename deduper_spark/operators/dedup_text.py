@@ -194,6 +194,35 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     return (pairs, dropped) if return_dropped else pairs
 
 
+def minhash_doc_clusters(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         cfg: FuzzyConfig | None = None) -> DataFrame:
+    """(doc_id, cluster_id) — near-dup cluster assignment for EVERY doc.
+
+    Transitive closure over the verified MinHash-LSH pair stream
+    (minhash_lsh_doc_pairs) via the O(log d) alternating-star
+    connected-components operator (cc.py:85); singletons label
+    themselves. cluster_id = min doc id of the component — the same
+    min-id survivor contract as the flagship pipeline, now exposed at
+    document level (the image side ships it as image_dedup_clusters).
+
+    The DuckDB oracle recomputes the closure with a recursive CTE over
+    the exact-Jaccard pair set, so this is the first driver query that
+    checks the CC operator against an independent transitive-closure
+    implementation rather than planted truth.
+    """
+    from deduper_spark.operators.cc import connected_components
+
+    pairs = minhash_lsh_doc_pairs(df, id_col, text_col, cfg)
+    comp = connected_components(
+        pairs.select("id_l", "id_r"),
+        nodes=df.select(F.col(id_col).alias("id")),
+        id_type=dict(df.dtypes)[id_col],
+    )
+    return comp.select(F.col("id").alias(id_col),
+                       F.col("cluster_id").alias("cluster_id"))
+
+
 def lsh_tables_for_recall(threshold: float, n_planes: int,
                           probe_radius: int,
                           target_miss: float = 0.01,
