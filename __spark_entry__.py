@@ -955,7 +955,7 @@ def oracle_sql() -> dict[str, str]:
                       i -> a.v[i+1] * b.v[i+1])) / (a.nrm * b.nrm), 6) >= 0.99
         """,
         "doc_chunk_dedup": f"""
-            WITH aug AS (
+            WITH aug0 AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
                 SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0
@@ -965,6 +965,8 @@ def oracle_sql() -> dict[str, str]:
                          || ' unique tail marker ' || doc_id::VARCHAR
                 FROM documents WHERE doc_id % 11 = 0
             ),
+            -- NULL text coalesces to '' (mirrors chunk_dedup's contract)
+            aug AS (SELECT doc_id, coalesce(text, '') AS text FROM aug0),
             t AS (SELECT doc_id, {_TOKS} AS toks FROM aug),
             c AS (
                 SELECT doc_id, i::BIGINT AS ci,

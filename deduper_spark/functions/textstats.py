@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from deduper_spark.functions.text import normalize_expr, shingles_expr
+from deduper_spark.functions.text import shingles_expr, tokens_expr
 
 # tiny fixed stopword lists — deterministic heuristic, not linguistics
 STOPWORDS = {
@@ -158,9 +158,8 @@ def tfidf_topk(df, id_col: str = "doc_id", text_col: str = "text",
     n_docs = df.count()
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(normalize_expr(F.coalesce(F.col(text_col),
-                                                    F.lit(""))),
-                          r"\s+")).alias("term"),
+        F.explode(tokens_expr(F.coalesce(F.col(text_col),
+                                         F.lit("")))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("dfreq"))

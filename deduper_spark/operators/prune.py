@@ -58,7 +58,10 @@ def chunk_dedup(
     pass to re-fetch winning text. Reassembly is a groupBy on the
     ORIGINAL id (second Exchange, narrow rows).
     """
-    toks = tokens_expr(text_col)
+    # NULL text coalesces to '' (the doc_features convention): NULL/
+    # empty docs all carry one '' chunk and keep-first applies to them
+    # like any other chunk — deterministic, mirrored by the oracle.
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
     w = F.lit(chunk_words)
     n_chunks = F.ceil(F.size("toks") / w).cast("int")
     chunks = F.transform(

@@ -5,9 +5,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
-from pyspark.sql import functions as F
-
 from deduper_spark.functions.textstats import tfidf_topk
 from deduper_spark.operators.dedup_text import minhash_doc_clusters
 from deduper_spark.operators.prune import (
@@ -68,6 +65,16 @@ class TestChunkDedup:
     def test_empty_input(self, spark):
         df = _docs(spark, [])
         assert chunk_dedup(df).count() == 0
+
+    def test_null_text_coalesces_to_empty(self, spark):
+        # NULL and '' docs all carry one '' chunk: keep-first keeps the
+        # lowest id, later NULL/empty docs drop — deterministic, same
+        # contract the oracle's coalesce mirrors
+        df = _docs(spark, [(1, None), (2, None), (3, ""),
+                           (4, "a b c d e f g h i j")])
+        out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_words=10).collect()}
+        assert sorted(out) == [1, 4]
+        assert out[1]["text_dedup"] == "" and out[1]["n_kept"] == 1
 
 
 class TestDropNearDuplicates:
