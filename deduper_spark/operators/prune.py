@@ -33,6 +33,56 @@ from deduper_spark.functions.text import tokens_expr
 from deduper_spark.operators.dedup_text import embedding_cosine_pairs
 
 
+def chunk_explode(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """(id, ci, chunk, n_chunks) — non-overlapping ``chunk_words``-token
+    chunks per document (last chunk may be shorter; every doc emits at
+    least one chunk, the empty string for NULL/empty text). Narrow:
+    one transform+posexplode inside codegen, no shuffle. Shared by the
+    batch keep-first (chunk_dedup) and the streaming ledger ingest
+    (streaming.incremental.stream_chunk_dedup)."""
+    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
+    w = F.lit(chunk_words)
+    n_chunks = F.ceil(F.size("toks") / w).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.col("n_chunks") - 1),
+        lambda i: F.array_join(F.slice(F.col("toks"), i * w + 1, w), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .withColumn("n_chunks", F.greatest(n_chunks, F.lit(1)))
+        .select("id", "n_chunks", F.posexplode(chunks).alias("ci", "chunk"))
+    )
+
+
+def reassemble_chunks(kept: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, text_dedup, n_chunks, n_kept) from surviving
+    (id, ci, chunk, n_chunks) rows — original chunk order restored via
+    an in-group array_sort on (ci, chunk) structs; one hash Exchange
+    keyed on the doc id (narrow rows)."""
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+        lambda s: s["chunk"],
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(ordered, " ").alias("text_dedup"),
+            F.first("n_chunks").alias("n_chunks"),
+            F.count("*").alias("n_kept"),
+        )
+        .select(
+            F.col("id").alias(id_col), "text_dedup",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
 def chunk_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -58,43 +108,14 @@ def chunk_dedup(
     pass to re-fetch winning text. Reassembly is a groupBy on the
     ORIGINAL id (second Exchange, narrow rows).
     """
-    # NULL text coalesces to '' (the doc_features convention): NULL/
-    # empty docs all carry one '' chunk and keep-first applies to them
-    # like any other chunk — deterministic, mirrored by the oracle.
-    toks = tokens_expr(F.coalesce(F.col(text_col), F.lit("")))
-    w = F.lit(chunk_words)
-    n_chunks = F.ceil(F.size("toks") / w).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.col("n_chunks") - 1),
-        lambda i: F.array_join(F.slice(F.col("toks"), i * w + 1, w), " "),
-    )
-    ex = (
-        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-        .withColumn("n_chunks", F.greatest(n_chunks, F.lit(1)))
-        .select("id", "n_chunks", F.posexplode(chunks).alias("ci", "chunk"))
-    )
+    ex = chunk_explode(df, id_col, text_col, chunk_words)
     first = Window.partitionBy("chunk").orderBy("id", "ci")
     kept = (
         ex.withColumn("rn", F.row_number().over(first))
         .where(F.col("rn") == 1)
+        .drop("rn")
     )
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
-        lambda s: s["chunk"],
-    )
-    return (
-        kept.groupBy("id")
-        .agg(
-            F.array_join(ordered, " ").alias("text_dedup"),
-            F.first("n_chunks").alias("n_chunks"),
-            F.count("*").alias("n_kept"),
-        )
-        .select(
-            F.col("id").alias(id_col), "text_dedup",
-            F.col("n_chunks").cast("long").alias("n_chunks"),
-            F.col("n_kept").cast("long").alias("n_kept"),
-        )
-    )
+    return reassemble_chunks(kept, id_col)
 
 
 def drop_near_duplicates(

@@ -94,6 +94,93 @@ def stream_dedup(
     return writer.start()
 
 
+def stream_chunk_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    source_schema: str,
+    target_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 10,
+    available_now: bool = True,
+):
+    """Streaming span-level dedup (the streaming form of
+    operators.prune.chunk_dedup): each micro-batch of documents is
+    chunked into ``chunk_words``-token spans, chunks are kept-first
+    within the batch AND anti-joined against a durable md5(chunk)
+    ledger of everything earlier batches kept, and documents are
+    reassembled from their surviving chunks (a doc whose every chunk
+    was seen before contributes nothing and drops). Cross-batch order
+    is arrival order; within a batch the batch operator's (id, ci)
+    keep-first applies — so draining a corpus in id order reproduces
+    the batch chunk_dedup output exactly (pinned by test).
+
+    Same effectively-once mechanics as stream_dedup: target and ledger
+    are batch_id-partitioned dynamic overwrites, and the anti-join
+    reads only ledger partitions with batch_id < current, so a retried
+    batch replaces its own output and never sees its own partial
+    ledger write. The ledger holds 16-byte md5 keys, not chunk text —
+    at 10^12 chunks it is the hash footprint, not the corpus.
+    """
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window
+
+    from deduper_spark.operators.prune import (
+        chunk_explode,
+        reassemble_chunks,
+    )
+
+    stream = (
+        spark.readStream.schema(source_schema)
+        .parquet(source_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        ex = (
+            chunk_explode(batch_df, id_col, text_col, chunk_words)
+            .withColumn("hash", F.md5("chunk"))
+        )
+        first = Window.partitionBy("hash").orderBy("id", "ci")
+        in_batch = (
+            ex.withColumn("rn", F.row_number().over(first))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            ledger = (
+                s.read.parquet(ledger_dir)
+                .where(F.col("batch_id") < batch_id)   # exclude own retry
+                .select("hash")
+            )
+            fresh = in_batch.join(ledger, "hash", "left_anti")
+        except AnalysisException:  # first batch only; other failures raise
+            fresh = in_batch
+        fresh = fresh.localCheckpoint()  # compute ONCE for both sinks
+        out = (
+            reassemble_chunks(fresh.drop("hash"), id_col)
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        for cols, path in (
+            (out, target_dir),
+            (fresh.select("hash").withColumn("batch_id", F.lit(batch_id)),
+             ledger_dir),
+        ):
+            (cols.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(path))
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def watermark_dedup(
     events: DataFrame,
     ts_col: str,

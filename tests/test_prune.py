@@ -138,6 +138,60 @@ class TestMinhashDocClusters:
         assert out == {0: 0, 1: 1}
 
 
+class TestStreamChunkDedup:
+    SCHEMA = "doc_id long, text string"
+
+    def _drain(self, spark, src, work):
+        from deduper_spark.streaming.incremental import stream_chunk_dedup
+
+        q = stream_chunk_dedup(
+            spark, src, self.SCHEMA, f"{work}/target", f"{work}/ledger",
+            f"{work}/ckpt")
+        q.awaitTermination()
+
+    def test_single_drain_matches_batch_operator(self, spark, tmp_path):
+        a = "a b c d e f g h i j"
+        b = "k l m n o p q r s t"
+        c = "u v w x y z a1 b1 c1 d1"
+        rows = [(0, f"{a} {b}"), (1, f"{a} {c}")]
+        src, work = str(tmp_path / "src"), str(tmp_path / "work")
+        spark.createDataFrame(rows, self.SCHEMA).write.parquet(src)
+        self._drain(spark, src, work)
+        got = {
+            r["doc_id"]: (r["text_dedup"], r["n_chunks"], r["n_kept"])
+            for r in spark.read.parquet(f"{work}/target").collect()
+        }
+        want = {
+            r["doc_id"]: (r["text_dedup"], r["n_chunks"], r["n_kept"])
+            for r in chunk_dedup(
+                spark.createDataFrame(rows, self.SCHEMA)).collect()
+        }
+        assert got == want
+
+    def test_cross_batch_ledger_drops_seen_chunks(self, spark, tmp_path):
+        a = "a b c d e f g h i j"
+        b = "k l m n o p q r s t"
+        c = "u v w x y z a1 b1 c1 d1"
+        novel = "zz yy xx ww vv uu tt ss rr qq"
+        src, work = str(tmp_path / "src"), str(tmp_path / "work")
+        spark.createDataFrame([(0, f"{a} {b}"), (1, c)],
+                              self.SCHEMA).write.mode("append").parquet(src)
+        self._drain(spark, src, work)
+        # second file drop: doc 2 repeats chunk b + adds a novel chunk;
+        # doc 3 is entirely chunks batch 0 already kept
+        spark.createDataFrame([(2, f"{b} {novel}"), (3, f"{a} {c}")],
+                              self.SCHEMA).write.mode("append").parquet(src)
+        self._drain(spark, src, work)
+        got = {r["doc_id"]: r
+               for r in spark.read.parquet(f"{work}/target").collect()}
+        assert sorted(got) == [0, 1, 2]          # doc 3 fully deduped
+        assert got[2]["text_dedup"] == novel     # repeated chunk dropped
+        assert got[2]["n_chunks"] == 2 and got[2]["n_kept"] == 1
+        assert got[0]["batch_id"] == 0 and got[2]["batch_id"] == 1
+        # ledger holds one md5 row per DISTINCT chunk ever kept
+        assert spark.read.parquet(f"{work}/ledger").count() == 4
+
+
 class TestTfidfTopk:
     def test_hand_computed(self, spark):
         df = _docs(spark, [
