@@ -392,6 +392,17 @@ def q_doc_tfidf_topk(spark, sf_dir):
         "rank", "term", "score")
 
 
+def q_corpus_split(spark, sf_dir):
+    """Reproducible train/val/test assignment (0.8/0.1/0.1):
+    label = CASE over the first 4 hex chars of md5(seed || ':' || id)
+    against fixed hex thresholds — a pure projection both engines
+    compute identically (no RNG, no integer hex parsing)."""
+    from deduper_spark.operators.sampling import deterministic_split
+
+    d = _t(spark, sf_dir, "documents")
+    return deterministic_split(d).select("doc_id", "split")
+
+
 def q_doc_simhash(spark, sf_dir):
     """SimHash-accelerated ORDER-INVARIANT dedup, oracled through the
     exact predicate it verifies (the minhash-query pattern: sketch =
@@ -738,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fuzzy_survivors": q_doc_fuzzy_survivors,
         "semantic_prune": q_semantic_prune,
         "doc_tfidf_topk": q_doc_tfidf_topk,
+        "corpus_split": q_corpus_split,
         "pipeline_incremental": q_pipeline_incremental,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_substring_sa": q_doc_substring_sa,
@@ -1086,6 +1098,17 @@ def oracle_sql() -> dict[str, str]:
                              AS rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "corpus_split": """
+            -- thresholds: floor(0.8*65536)=52428=0xcccc,
+            --             floor(0.9*65536)=58982=0xe666
+            SELECT doc_id,
+                   CASE WHEN substr(md5('split-v1:' || doc_id::VARCHAR),
+                                    1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5('split-v1:' || doc_id::VARCHAR),
+                                    1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "pipeline_incremental": """
             WITH aug AS (

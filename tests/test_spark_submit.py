@@ -110,3 +110,50 @@ def test_spark_submit_image_dir_mode(tmp_path):
     assert out["files_clustered"] == 5
     assert out["clusters"] == 4
     assert out["dupes"] == 1
+
+
+def test_spark_submit_docs_mode(tmp_path, spark):
+    """The deployment entry point's text-corpus mode: spark-submit
+    --py-files with --docs runs span-level chunk dedup + MinHash
+    cluster assignment over a (doc_id, text) parquet and reports
+    planted-truth counters."""
+    a = "a b c d e f g h i j"
+    b = "k l m n o p q r s t"
+    base = ("spark table row scan filter join agg window batch line "
+            "key value part hash merge sort group limit order data")
+    rows = [
+        (0, f"{a} {b}"),        # owns both chunks
+        (1, a),                 # fully span-duplicated -> drops
+        (2, base),              # near-dup cluster seed
+        (3, base + " tiny"),    # near-dup of 2 (cluster {2,3})
+    ]
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(src))
+
+    zip_path = str(tmp_path / "deduper_spark.zip")
+    _build_zip(zip_path)
+    submit = os.path.join(os.path.dirname(pyspark.__file__),
+                          "bin", "spark-submit")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [submit, "--master", "local[2]",
+         "--conf", "spark.sql.shuffle.partitions=4",
+         "--conf", "spark.driver.memory=4g",
+         "--py-files", zip_path,
+         os.path.join(REPO, "tools", "submit_dedup.py"),
+         "--docs", str(src)],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("{") and '"docs"' in ln][-1]
+    out = json.loads(line)
+    assert out["docs_in"] == 4
+    assert out["docs_with_novel_spans"] == 3      # doc 1 vanished
+    assert out["chunks_kept"] == 5   # doc0:2, doc1:0, doc2:2, doc3:1 (novel tail)
+    assert out["near_dup_clusters"] == 3          # {0},{1},{2,3}
+    assert out["near_dup_members"] == 1

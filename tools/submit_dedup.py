@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--image-dir", default=None,
                     help="cluster a DIRECTORY of images (any "
                          "JVM-decodable format) instead of a table")
+    ap.add_argument("--docs", default=None,
+                    help="text-corpus mode: parquet of (doc_id, text) "
+                         "-> span-level chunk dedup + MinHash near-dup "
+                         "cluster assignment")
+    ap.add_argument("--chunk-words", type=int, default=10)
     ap.add_argument("--psnr-mode", default=None,
                     help="override fuzzy psnr_mode (e.g. 'audit')")
     ap.add_argument("--no-json", action="store_true",
@@ -108,6 +113,45 @@ def main() -> None:
             "files_clustered": n_files,
             "clusters": n_clusters,
             "dupes": n_files - n_clusters,
+        }))
+        spark.stop()
+        return
+
+    if args.docs:
+        # text-corpus mode: the doc-side pruning family end-to-end —
+        # span-level exact dedup (C4-style duplicate-span removal)
+        # plus near-dup cluster assignment, same spark-submit
+        # deployment contract as the image pipeline
+        from deduper_spark.operators.dedup_text import minhash_doc_clusters
+        from deduper_spark.operators.prune import chunk_dedup
+
+        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        t0 = time.time()
+        spans = chunk_dedup(docs, chunk_words=args.chunk_words).persist()
+        n_docs_out = spans.count()
+        from pyspark.sql import functions as F
+
+        agg = spans.agg(
+            F.sum("n_chunks").alias("chunks_in"),
+            F.sum("n_kept").alias("chunks_kept"),
+        ).collect()[0]
+        clusters = minhash_doc_clusters(docs).persist()
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        n_docs = docs.count()
+        if args.output:
+            from deduper_spark.sinks.writers import write_table
+
+            write_table(spans, args.output + "_spans")
+            write_table(clusters, args.output + "_clusters")
+        print(json.dumps({
+            "sec": round(time.time() - t0, 3),
+            "mode": "docs",
+            "docs_in": n_docs,
+            "docs_with_novel_spans": n_docs_out,
+            "chunks_in_surviving_docs": int(agg["chunks_in"]),
+            "chunks_kept": int(agg["chunks_kept"]),
+            "near_dup_clusters": n_clusters,
+            "near_dup_members": n_docs - n_clusters,
         }))
         spark.stop()
         return
