@@ -392,6 +392,30 @@ def q_doc_tfidf_topk(spark, sf_dir):
         "rank", "term", "score")
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The composed C4-style cleaning pipeline: language filter ('en')
+    -> quality floor (600k micro-units) -> exact doc dedup -> span
+    dedup, over an augmented corpus with planted full copies (killed
+    by the exact stage) and half-overlap copies (trimmed by the span
+    stage). The oracle recomposes all four already-oracled stages in
+    one SQL chain."""
+    from deduper_spark.operators.prune import clean_text_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    full = d.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text")
+    half = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " "),
+            F.lit(" unique tail marker "), F.col("doc_id").cast("string"),
+        ).alias("text"))
+    aug = d.unionByName(full).unionByName(half)
+    return clean_text_corpus(aug).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "text_dedup", "n_chunks", "n_kept")
+
+
 def q_corpus_split(spark, sf_dir):
     """Reproducible train/val/test assignment (0.8/0.1/0.1):
     label = CASE over the first 4 hex chars of md5(seed || ':' || id)
@@ -750,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_prune": q_semantic_prune,
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "corpus_split": q_corpus_split,
+        "clean_corpus": q_clean_corpus,
         "pipeline_incremental": q_pipeline_incremental,
         "doc_minhash_lsh": q_doc_minhash_lsh,
         "doc_substring_sa": q_doc_substring_sa,
@@ -1098,6 +1123,74 @@ def oracle_sql() -> dict[str, str]:
                              AS rnk
                   FROM scored)
             WHERE rnk <= 3
+        """,
+        "clean_corpus": f"""
+            WITH aug0 AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 300000, text FROM documents WHERE doc_id % 9 = 0
+                UNION ALL
+                SELECT doc_id + 400000,
+                       array_to_string(string_split(text, ' ')[1:30], ' ')
+                         || ' unique tail marker ' || doc_id::VARCHAR
+                FROM documents WHERE doc_id % 11 = 0
+            ),
+            s AS (SELECT doc_id, text, {sw_counts} FROM aug0),
+            -- stage 1: lang filter == lang_id CASE picking 'en'
+            langed AS (
+                SELECT doc_id, text FROM s
+                WHERE NOT (c_en = 0 AND c_de = 0 AND c_fr = 0 AND c_es = 0)
+                  AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es
+            ),
+            -- stage 2: quality floor (same micro-unit expr as
+            -- quality_score)
+            quality AS (
+                SELECT doc_id, text FROM langed
+                WHERE (
+                    least(CASE WHEN trim(text) = '' THEN 0
+                               ELSE len(string_split_regex(trim(text),
+                                                           '\\s+'))
+                          END::BIGINT * 10000, 500000)
+                    + least(floor(len(list_filter({lo_toks},
+                                t -> list_contains({_SW['en']}, t)))::BIGINT
+                              * 1500000
+                              / greatest(len({lo_toks}), 1))::BIGINT, 300000)
+                    + 200000 - floor((length(text) -
+                         length(regexp_replace(text, '[^\\w\\s]', '',
+                                               'g')))::BIGINT
+                         * 200000 / greatest(length(text), 1))::BIGINT
+                ) >= 600000
+            ),
+            -- stage 3: exact doc dedup, keep-first by id
+            exact AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY text
+                                              ORDER BY doc_id) AS rn
+                    FROM quality)
+                WHERE rn = 1
+            ),
+            -- stage 4: span-level chunk dedup (doc_chunk_dedup shape)
+            t AS (SELECT doc_id, {_TOKS} AS toks
+                  FROM (SELECT doc_id, coalesce(text, '') AS text
+                        FROM exact)),
+            c AS (
+                SELECT doc_id, i::BIGINT AS ci,
+                       array_to_string(
+                           toks[(i*10+1)::BIGINT:(i*10+10)::BIGINT], ' '
+                       ) AS chunk
+                FROM t, unnest(range(greatest((len(toks)+9)//10, 1))) AS u(i)
+            ),
+            k AS (SELECT doc_id, ci, chunk,
+                         row_number() OVER (PARTITION BY chunk
+                                            ORDER BY doc_id, ci) AS rn,
+                         count(*) OVER (PARTITION BY doc_id) AS n_chunks
+                  FROM c)
+            SELECT doc_id::BIGINT AS doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci) AS text_dedup,
+                   n_chunks::BIGINT AS n_chunks,
+                   count(*)::BIGINT AS n_kept
+            FROM k WHERE rn = 1 GROUP BY doc_id, n_chunks
         """,
         "corpus_split": """
             -- thresholds: floor(0.8*65536)=52428=0xcccc,

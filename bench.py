@@ -133,6 +133,7 @@ def main() -> None:
         "doc_ngram_jaccard",
         "doc_substring_sa",
         "doc_chunk_dedup",
+        "clean_corpus",
         "doc_cluster_assign",
         "emb_cosine_dups",
         "semantic_prune",

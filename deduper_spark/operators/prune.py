@@ -176,3 +176,43 @@ def semantic_prune(
         target_miss=target_miss, seed=seed,
     )
     return drop_near_duplicates(df, pairs, id_col)
+
+
+def clean_text_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality_micro: int = 600_000,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """The composed C4-style cleaning pipeline in one call:
+    language filter -> quality floor -> exact doc dedup (keep-first)
+    -> span-level chunk dedup. Returns (id, text_dedup, n_chunks,
+    n_kept) — the cleaned corpus a pretraining run would ingest.
+
+    Every stage is an already-oracled operator (lang_id_expr,
+    quality_micro_expr, exact_dedup, chunk_dedup), composed so the
+    predicates stay in ONE codegen'd projection ahead of the first
+    shuffle — Catalyst collapses the two filters into the parquet scan
+    (predicate ordering is its call), the exact-dedup Exchange then
+    carries only surviving rows, and chunk dedup's Exchange only
+    exact-unique rows. The whole pipeline is 3 hash Exchanges
+    end-to-end at any scale; nothing widens row count except the
+    chunk posexplode, which the chunk-key WindowGroupLimit immediately
+    prunes map-side (PLANS.md §3, §13).
+    """
+    from deduper_spark.functions.textstats import (
+        lang_id_expr,
+        quality_micro_expr,
+    )
+    from deduper_spark.operators.exact import exact_dedup
+
+    filtered = df.where(
+        (lang_id_expr(text_col) == lang)
+        & (quality_micro_expr(text_col) >= min_quality_micro)
+    ).select(id_col, text_col)
+    survivors = exact_dedup(
+        filtered, (text_col,), order_col=id_col
+    ).survivors.select(id_col, text_col)
+    return chunk_dedup(survivors, id_col, text_col, chunk_words)

@@ -228,3 +228,30 @@ class TestTfidfTopk:
         out = tfidf_topk(df, k=3).collect()
         assert {r["doc_id"] for r in out} == {0}
         assert len(out) == 3
+
+
+class TestCleanTextCorpus:
+    def test_all_four_stages(self, spark):
+        from deduper_spark.operators.prune import clean_text_corpus
+
+        en = ("the cat and the dog sat on the mat for fun "
+              "it is a good day in the sun for all of us here today")
+        de = ("der hund und die katze ist von dem haus mit den zu "
+              "der hund und die katze ist von dem haus mit den zu")
+        rows = [
+            (0, en),                    # survives everything
+            (1, en),                    # exact dup of 0 -> exact stage kills
+            (2, de),                    # german -> lang stage kills
+            (3, "x"),                   # 1 token -> quality stage kills
+            # shares doc 0's first 10 normalized tokens, novel tail
+            (4, "the cat and the dog sat on the mat for "
+                "novel tail words here that are for the new doc only"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in clean_text_corpus(df).collect()}
+        assert sorted(out) == [0, 4]
+        assert out[0]["n_kept"] == out[0]["n_chunks"]
+        # doc 4 (21 tokens -> 3 chunks) lost its first chunk (doc 0
+        # owns it), kept the two tail chunks
+        assert out[4]["n_chunks"] == 3 and out[4]["n_kept"] == 2
+        assert out[4]["text_dedup"].startswith("novel tail")
