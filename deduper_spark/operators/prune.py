@@ -1,18 +1,23 @@
 """Corpus-pruning operators for training-data pipelines.
 
-Three pruning shapes a 100 TB text/embedding corpus needs beyond
+The pruning shapes a 100 TB text/embedding corpus needs beyond
 pair detection (operators/dedup_text.py):
 
-- ``chunk_dedup``: span-level exact dedup (the C4 / CCNet "remove
-  duplicated lines/spans across documents" pass) — fixed-width token
-  chunks, global keep-first per chunk, documents reassembled from
-  their surviving chunks.
+- ``chunk_dedup`` (+ ``chunk_explode``/``reassemble_chunks``):
+  span-level exact dedup (the C4 / CCNet "remove duplicated
+  lines/spans across documents" pass) — fixed-width token chunks,
+  global keep-first per chunk, documents reassembled from their
+  surviving chunks. The streaming form is
+  streaming.incremental.stream_chunk_dedup.
 - ``drop_near_duplicates``: survivor selection from ANY verified pair
   stream — drop every row whose neighborhood contains a smaller id
   (the deterministic, SQL-mirrorable variant of greedy pruning).
 - ``semantic_prune``: SemDeDup-style semantic dedup (Abbas et al.,
   arXiv:2303.09540) — embedding-cosine near-dup pairs via hyperplane
   LSH, then the same smaller-id-neighbor drop rule.
+- ``clean_text_corpus``: the composed cleaning pipeline — language
+  filter -> quality floor -> exact doc dedup -> span dedup in one
+  call (three hash Exchanges end-to-end).
 
 Everything here composes the existing verified-pair machinery; no new
 shuffles beyond the ones the pair generators already pay, plus one
