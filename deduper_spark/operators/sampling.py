@@ -39,7 +39,15 @@ def _bucket_expr(id_col: str, seed: str) -> Column:
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     """[(label, upper_hex)] cumulative upper bounds (exclusive), in
     the given label order; the LAST label absorbs the quantization
-    remainder so every bucket maps to exactly one label."""
+    remainder so every bucket maps to exactly one label.
+
+    A cumulative bound that reaches 1.0 early (e.g. a trailing
+    zero-weight label) saturates to the catch-all sentinel 'g' — every
+    4-hex-char bucket sorts below it — rather than the 5-char string
+    '10000', which no bucket in ['cccc','ffff'] sorts below (that bug
+    silently routed such a label's share to the catch-all)."""
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"split weights must be non-negative: {weights}")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("split weights must sum to a positive value")
@@ -47,7 +55,8 @@ def split_thresholds(weights: dict[str, float]) -> list[tuple[str, str]]:
     labels = list(weights)
     for lbl in labels[:-1]:
         cum += weights[lbl] / total
-        out.append((lbl, format(min(int(cum * _BUCKETS), _BUCKETS), "04x")))
+        b = int(cum * _BUCKETS)
+        out.append((lbl, "g" if b >= _BUCKETS else format(b, "04x")))
     out.append((labels[-1], "g"))  # > 'ffff' in string order: catch-all
     return out
 

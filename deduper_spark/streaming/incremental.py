@@ -26,6 +26,37 @@ from pyspark.sql import functions as F
 from deduper_spark.functions.keys import md5_key_expr, resolve_hash_keys
 
 
+def _fresh_vs_ledger(batch_df: DataFrame, ledger_dir: str,
+                     batch_id: int) -> DataFrame:
+    """Rows of ``batch_df`` whose ``hash`` was NOT ledgered by an
+    EARLIER batch. Reading only partitions with batch_id < current is
+    the effectively-once retry contract: a retried batch never sees
+    its own partial ledger write. A missing ledger (first batch) passes
+    everything through; any OTHER failure (corrupt ledger, permissions)
+    must raise — treating it as first-batch would silently disable
+    dedup. Shared by stream_dedup and stream_chunk_dedup."""
+    from pyspark.errors import AnalysisException
+
+    s = batch_df.sparkSession
+    try:
+        ledger = (
+            s.read.parquet(ledger_dir)
+            .where(F.col("batch_id") < batch_id)
+            .select("hash")
+        )
+        return batch_df.join(ledger, "hash", "left_anti")
+    except AnalysisException:
+        return batch_df
+
+
+def _overwrite_batch_partition(df: DataFrame, path: str) -> None:
+    """batch_id-partitioned dynamic overwrite: a retried batch replaces
+    its own partition instead of appending duplicates."""
+    (df.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(path))
+
+
 def stream_dedup(
     spark: SparkSession,
     source_dir: str,
@@ -51,8 +82,6 @@ def stream_dedup(
     ledger write). Readers see target rows with a ``batch_id`` lineage
     column — drop it if unwanted.
     """
-    from pyspark.errors import AnalysisException
-
     stream = (
         spark.readStream.schema(source_schema)
         .parquet(source_dir)
@@ -60,30 +89,17 @@ def stream_dedup(
     keys = resolve_hash_keys(stream, hash_keys)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
         keyed = batch_df.withColumn("hash", md5_key_expr(keys))
         # dedupe within the batch (keep one row per hash)
         in_batch = keyed.dropDuplicates(["hash"])
-        try:
-            ledger = (
-                s.read.parquet(ledger_dir)
-                .where(F.col("batch_id") < batch_id)   # exclude own retry
-                .select("hash")
-            )
-            fresh = in_batch.join(ledger, "hash", "left_anti")
-        except AnalysisException:  # no ledger written yet (first batch);
-            # any OTHER failure (corrupt ledger, permissions) must raise —
-            # treating it as first-batch would silently disable dedup
-            fresh = in_batch
         fresh = (
-            fresh.withColumn("batch_id", F.lit(batch_id))
+            _fresh_vs_ledger(in_batch, ledger_dir, batch_id)
+            .withColumn("batch_id", F.lit(batch_id))
             .localCheckpoint()  # compute fresh ONCE for both sinks
         )
-        for cols, path in ((fresh.drop("hash"), target_dir),
-                           (fresh.select("hash", "batch_id"), ledger_dir)):
-            (cols.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(path))
+        _overwrite_batch_partition(fresh.drop("hash"), target_dir)
+        _overwrite_batch_partition(fresh.select("hash", "batch_id"),
+                                   ledger_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)
@@ -121,10 +137,10 @@ def stream_chunk_dedup(
     are batch_id-partitioned dynamic overwrites, and the anti-join
     reads only ledger partitions with batch_id < current, so a retried
     batch replaces its own output and never sees its own partial
-    ledger write. The ledger holds 16-byte md5 keys, not chunk text —
-    at 10^12 chunks it is the hash footprint, not the corpus.
+    ledger write. The ledger holds 16-byte BINARY md5 digests
+    (unhex'd), not chunk text — at 10^12 chunks it is the hash
+    footprint, not the corpus.
     """
-    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
     from deduper_spark.operators.prune import (
@@ -138,10 +154,9 @@ def stream_chunk_dedup(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
         ex = (
             chunk_explode(batch_df, id_col, text_col, chunk_words)
-            .withColumn("hash", F.md5("chunk"))
+            .withColumn("hash", F.unhex(F.md5("chunk")))
         )
         first = Window.partitionBy("hash").orderBy("id", "ci")
         in_batch = (
@@ -149,28 +164,18 @@ def stream_chunk_dedup(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        try:
-            ledger = (
-                s.read.parquet(ledger_dir)
-                .where(F.col("batch_id") < batch_id)   # exclude own retry
-                .select("hash")
-            )
-            fresh = in_batch.join(ledger, "hash", "left_anti")
-        except AnalysisException:  # first batch only; other failures raise
-            fresh = in_batch
-        fresh = fresh.localCheckpoint()  # compute ONCE for both sinks
+        fresh = (
+            _fresh_vs_ledger(in_batch, ledger_dir, batch_id)
+            .localCheckpoint()  # compute ONCE for both sinks
+        )
         out = (
             reassemble_chunks(fresh.drop("hash"), id_col)
             .withColumn("batch_id", F.lit(batch_id))
         )
-        for cols, path in (
-            (out, target_dir),
-            (fresh.select("hash").withColumn("batch_id", F.lit(batch_id)),
-             ledger_dir),
-        ):
-            (cols.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("batch_id").parquet(path))
+        _overwrite_batch_partition(out, target_dir)
+        _overwrite_batch_partition(
+            fresh.select("hash").withColumn("batch_id", F.lit(batch_id)),
+            ledger_dir)
 
     writer = (
         stream.writeStream.foreachBatch(process_batch)

@@ -85,3 +85,25 @@ class TestSampleCorpus:
         assert sample_corpus(ids, rate=0.0).count() == 0
         with pytest.raises(ValueError):
             sample_corpus(ids, rate=1.5)
+
+
+class TestThresholdEdges:
+    def test_trailing_zero_weight_label_gets_nothing(self, spark, ids):
+        # cum weight hits 1.0 BEFORE the last label: the middle label's
+        # threshold saturates to the catch-all sentinel (not the 5-char
+        # '10000' no hex bucket sorts below), so val absorbs the
+        # remainder and test gets zero rows
+        a = _labels(deterministic_split(
+            ids, weights={"train": 0.8, "val": 0.2, "test": 0.0}))
+        counts = {s: sum(1 for v in a.values() if v == s)
+                  for s in ("train", "val", "test")}
+        assert counts["test"] == 0
+        assert abs(counts["val"] / 2000 - 0.2) < 0.04
+        # and the assignment equals the two-way split row-for-row
+        b = _labels(deterministic_split(
+            ids, weights={"train": 0.8, "val": 0.2}))
+        assert a == b
+
+    def test_negative_weight_rejected(self):
+        with pytest.raises(ValueError):
+            split_thresholds({"a": 1.5, "b": -0.5})

