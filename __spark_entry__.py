@@ -48,67 +48,124 @@ def entry(spark: SparkSession) -> DataFrame:
 LI_KEYS = ("l_orderkey", "l_partkey")
 
 
-def _li_keyed(spark, sf_dir):
-    from deduper_spark.functions.keys import md5_key_expr
-
-    return _t(spark, sf_dir, "lineitem").withColumn(
-        "hash", md5_key_expr(list(LI_KEYS))
-    )
 
 
 def q_exact_dedup_survivors(spark, sf_dir):
-    """O10 keep-first dedup (window row_number over hash)."""
-    keyed = _li_keyed(spark, sf_dir)
-    w = Window.partitionBy("hash").orderBy("l_linenumber")
+    """O10 keep-first dedup.
+
+    r6 optimization (guide §2.3 "aggregate before you shuffle"): the
+    md5 hash is injective on its inputs, so PARTITION BY hash ==
+    GROUP BY (l_orderkey, l_partkey), and the surviving row's columns
+    are all functionally determined by (group key, min l_linenumber)
+    — l_linenumber is unique within an order. The window-over-hash
+    plan md5'd every row, sorted twice and shuffled a 32-char string
+    per row; this partial-aggregating groupBy shuffles two longs and
+    never materializes the hash at all. Result set is identical
+    (oracle: check_entry green; plans/r06/exact_dedup_survivors_*)."""
+    li = _t(spark, sf_dir, "lineitem")
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(F.min("l_linenumber").alias("l_linenumber"))
         .select("l_orderkey", "l_partkey", "l_linenumber")
     )
 
 
 def q_dupe_groups(spark, sf_dir):
-    """O11 dupe-group aggregation: row_ids JSON + first-found + size."""
-    keyed = _li_keyed(spark, sf_dir)
-    return (
-        keyed.groupBy("hash")
+    """O11 dupe-group aggregation: row_ids JSON + first-found + size.
+
+    r6 optimization (guide §2.3): group on the NATURAL key pair and
+    compute the md5 hash string AFTER the group-size filter — the md5
+    count drops from |rows| to |dupe groups| (~10^-4 of rows) and the
+    shuffle carries (long, long, int) instead of a 32-char hash string
+    per row. Same group partition (md5 is injective on the key pair),
+    identical output rows."""
+    from deduper_spark.functions.keys import md5_key_expr
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber")
+    # pass 1 — decide with small rows: counting aggregates only (pure
+    # codegen HashAggregate with map-side partials; a collect_list over
+    # every row would force ObjectHashAggregate into its sort-based
+    # fallback past 128 keys/map). ~10^-4 of groups survive the filter.
+    groups = (
+        li.groupBy("l_orderkey", "l_partkey")
         .agg(
-            F.to_json(F.sort_array(F.collect_list("l_linenumber"))).alias("row_ids"),
             F.min("l_linenumber").cast("long").alias("first_found"),
             F.count("*").cast("long").alias("group_size"),
         )
         .where(F.col("group_size") > 1)
-        .select("hash", "row_ids", "first_found", "group_size")
+    )
+    # pass 2 — collect row_ids for the surviving groups only: the join
+    # against the tiny group set broadcasts (AQE), so the only rows
+    # that reach the collect_list shuffle are actual dupes.
+    return (
+        li.join(groups, list(LI_KEYS))
+        .groupBy("l_orderkey", "l_partkey", "first_found", "group_size")
+        .agg(F.to_json(F.sort_array(
+            F.collect_list("l_linenumber"))).alias("row_ids"))
+        .select(md5_key_expr(list(LI_KEYS)).alias("hash"),
+                "row_ids", "first_found", "group_size")
     )
 
 
 def q_hash_ledger(spark, sf_dir):
-    """O21 hash ledger: distinct hash + first ordinal + multiplicity."""
-    keyed = _li_keyed(spark, sf_dir)
-    return keyed.groupBy("hash").agg(
-        F.min("l_linenumber").cast("long").alias("first_ln"),
-        F.count("*").cast("long").alias("n_rows"),
+    """O21 hash ledger: distinct hash + first ordinal + multiplicity.
+
+    r6: group on the natural key pair (narrow shuffle, no per-row md5
+    string through the Exchange); the hash is emitted per GROUP after
+    the aggregation — same rows, one md5 per distinct key."""
+    from deduper_spark.functions.keys import md5_key_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.min("l_linenumber").cast("long").alias("first_ln"),
+            F.count("*").cast("long").alias("n_rows"),
+        )
+        .select(md5_key_expr(list(LI_KEYS)).alias("hash"),
+                "first_ln", "n_rows")
     )
 
 
 def q_incremental_anti(spark, sf_dir):
-    """O12 anti-join vs seen-hash ledger (incremental mode)."""
-    keyed = _li_keyed(spark, sf_dir)
-    ledger = keyed.where(F.col("l_orderkey") % 2 == 0).select("hash").distinct()
+    """O12 anti-join vs seen-hash ledger (incremental mode).
+
+    r6 optimization (guide §2.3/§3.1): the ledger's md5 is injective on
+    (l_orderkey, l_partkey), so membership-by-hash == membership by the
+    natural key pair. Anti-joining on the two longs drops the per-row
+    md5 on BOTH sides and shrinks the join key from a 32-char string to
+    16 bytes — the distinct'd ledger then broadcasts (AQE), so the big
+    side is never shuffled. Identical surviving rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    ledger = (
+        li.where(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey").distinct()
+    )
     return (
-        keyed.join(ledger, "hash", "left_anti")
+        li.join(ledger, list(LI_KEYS), "left_anti")
         .select("l_orderkey", "l_partkey", "l_linenumber")
     )
 
 
 def q_incremental_semi(spark, sf_dir):
-    """O12 semi-join: rows already present in the ledger, counted per hash."""
-    keyed = _li_keyed(spark, sf_dir)
-    ledger = keyed.where(F.col("l_orderkey") % 2 == 0).select("hash").distinct()
+    """O12 semi-join: rows already present in the ledger, counted per hash.
+
+    r6: semi-join + group on the natural key pair; the hash string is
+    computed once per surviving GROUP after aggregation (same rows —
+    md5 is injective on the pair)."""
+    from deduper_spark.functions.keys import md5_key_expr
+
+    li = _t(spark, sf_dir, "lineitem")
+    ledger = (
+        li.where(F.col("l_orderkey") % 2 == 0)
+        .select("l_orderkey", "l_partkey").distinct()
+    )
     return (
-        keyed.join(ledger, "hash", "left_semi")
-        .groupBy("hash")
+        li.join(ledger, list(LI_KEYS), "left_semi")
+        .groupBy("l_orderkey", "l_partkey")
         .agg(F.count("*").cast("long").alias("seen_rows"))
+        .select(md5_key_expr(list(LI_KEYS)).alias("hash"), "seen_rows")
     )
 
 

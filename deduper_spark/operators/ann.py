@@ -86,24 +86,41 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return _sig
 
 
-def hyperplane_signatures_udf(dim: int, n_planes: int, n_tables: int,
+def hyperplane_signatures_udf(dim: int | None, n_planes: int, n_tables: int,
                               seed: int = 42):
     """``n_tables`` INDEPENDENT sign-random-projection signatures per
     vector (array<long>, one per table) — the OR-amplification side of
     LSH: a pair is a candidate if ANY table agrees (within the probe
     radius), so per-table misses multiply instead of compounding.
-    One (dim x n_planes*n_tables) matmul per Arrow batch."""
+    One (dim x n_planes*n_tables) matmul per Arrow batch.
+
+    ``dim=None`` (r6) infers the dimension from the first Arrow batch
+    and builds the plane matrix lazily INSIDE the worker — identical
+    planes for a given (dim, n_planes, n_tables, seed) on every task,
+    and the caller no longer needs a driver-side limit(1).collect()
+    probe job just to learn the vector width."""
     from pyspark.sql.types import ArrayType
 
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes * n_tables))
     weights = (1 << np.arange(n_planes, dtype=np.uint64))
+    planes_by_dim: dict[int, np.ndarray] = {}
+
+    def _planes(d: int) -> np.ndarray:
+        p = planes_by_dim.get(d)
+        if p is None:
+            rng = np.random.default_rng(seed)
+            p = rng.standard_normal((d, n_planes * n_tables))
+            planes_by_dim[d] = p
+        return p
+
+    if dim is not None:
+        _planes(dim)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sigs(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        planes = _planes(m.shape[1] if dim is None else dim)
         bits = ((m @ planes) > 0).reshape(len(vecs), n_tables, n_planes)
         packed = (bits.astype(np.uint64) * weights[None, None, :]).sum(axis=2)
         return pd.Series(list(packed.astype(np.int64)))

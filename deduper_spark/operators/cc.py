@@ -32,7 +32,7 @@ Each round localCheckpoint()s so the plan does not grow superlinearly
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,20 +41,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
 
     For each node u with undirected neighborhood N(u):
     m = min(N(u) ∪ {u}); emit (v, m) for v in N(u), v > u.
+
+    r6: the neighborhood minimum is a window aggregate over src — ONE
+    hash Exchange per phase instead of the former groupBy + self-join
+    pair (guide §2.4: operations keyed the same way share one
+    exchange; the join added a second pass plus build/probe work).
     """
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    with_min = (
-        sym.groupBy("src")
-        .agg(F.min("dst").alias("nmin"))
-        .select("src", F.least("src", "nmin").alias("m"))
-    )
-    # NO distinct here: duplicate emissions are harmless to the next
-    # small-star (its min-agg and final distinct absorb them) and the
-    # dedup shuffle is pure overhead in the alternating loop
+    m = F.least(F.col("src"),
+                F.min("dst").over(Window.partitionBy("src")))
     return (
-        sym.join(with_min, "src")
+        sym.withColumn("m", m)
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -66,16 +65,30 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
     Operates on edges oriented src > dst; for each src u with smaller
     neighbors S(u): m = min(S(u)); emit (v, m) for v in S(u) ∪ {u}.
+
+    r6: same window-over-src form as _large_star (one Exchange, no
+    join); (src, m) is emitted per neighbor row instead of once per
+    src — the trailing distinct absorbs the duplicates exactly as it
+    absorbed the former union's.
     """
     oriented = edges.select(
         F.greatest("src", "dst").alias("src"),
         F.least("src", "dst").alias("dst"),
     ).where(F.col("src") != F.col("dst"))
-    with_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    m = F.min("dst").over(Window.partitionBy("src"))
     rewired = (
-        oriented.join(with_min, "src")
-        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-        .unionByName(with_min.select("src", F.col("m").alias("dst")))
+        oriented.withColumn("m", m)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("dst").alias("src"),
+                             F.col("m").alias("dst")),
+                    F.struct(F.col("src").alias("src"),
+                             F.col("m").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )
@@ -88,25 +101,37 @@ def connected_components(
     max_iter: int = 50,
     id_type: str = "string",
     algorithm: str = "alternating",
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """edges: (id_l, id_r). nodes: (id) incl. singletons (optional).
-    Returns (id, cluster_id) for every node in edges ∪ nodes."""
+    Returns (id, cluster_id) for every node in edges ∪ nodes.
+
+    ``edges_distinct=True`` skips the defensive input distinct — every
+    in-engine pair generator ends in a groupBy/distinct on (id_l, id_r)
+    so the dedup Exchange here would be a pure repeat (r6)."""
     if algorithm == "label_prop":
         return label_propagation_components(edges, nodes, max_iter)
 
-    e0 = (
-        edges.select(F.col("id_l").alias("src"), F.col("id_r").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e0 = edges.select(
+        F.col("id_l").alias("src"), F.col("id_r").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    if not edges_distinct:
+        e0 = e0.distinct()
+    e0 = e0.localCheckpoint()
 
+    # no up-front emptiness probe (r6): an empty edge set satisfies the
+    # fixpoint test in round 0 at the cost of one trivial job, so the
+    # dedicated limit(1) action was a job per call on EVERY input
     e = e0
-    converged = e.limit(1).count() == 0
+    converged = False
+    last_stats = None
     for _it in range(max_iter):
-        if converged:
-            break
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy localCheckpoint: the convergence aggregation below is
+        # the materializing action, so each round costs ONE job for
+        # rewire+checkpoint+stats instead of two (r6 — the alternating
+        # loop is scheduling-latency-bound on small edge sets and the
+        # merged action also skips one full pass at scale)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # PROVABLE fixpoint test, checked in the SAME round it is
         # reached (an equality check against the previous edge set
         # would burn one extra full iteration): both phases emit edges
@@ -115,11 +140,15 @@ def connected_components(
         # its one root, roots never appear as src. So converged iff
         #   (a) each src has exactly one edge (count == distinct srcs)
         #   (b) no src ever appears as dst
-        # — two cheap aggregations over the just-checkpointed edges.
+        # — one aggregation + (when (a) holds) one semi-join probe over
+        # the just-checkpointed edges. n_roots rides the same agg so
+        # the post-loop label-count assert needs no extra job.
         stats = e.agg(
             F.count("*").alias("n"),
             F.count_distinct("src").alias("n_src"),
+            F.count_distinct("dst").alias("n_roots"),
         ).collect()[0]
+        last_stats = stats
         if stats["n"] == stats["n_src"]:
             roots_as_src = (
                 e.select("dst").join(e.select(F.col("src").alias("dst")),
@@ -145,10 +174,12 @@ def connected_components(
     )
     # contraction never drops a connected node (every rewiring target is
     # an existing node id, so endpoints(e) ⊆ endpoints(e0)); ASSERT that
-    # with one count aggregation instead of a distinct + anti-join pair
-    # of shuffles — a mismatch means mislabeled survivors, so fail hard
-    if e is not e0:
-        n_labeled = labels.count()
+    # against one count aggregation over e0. The labeled count needs no
+    # job: at the fixpoint srcs are unique and disjoint from dsts, so
+    # |labels| = n + n_roots from the convergence stats (r6 — the
+    # former labels.count() also re-ran the roots distinct).
+    n_labeled = last_stats["n"] + last_stats["n_roots"]
+    if last_stats["n"]:
         n_orig = (
             e0.select(F.col("src").alias("id"))
             .unionByName(e0.select(F.col("dst").alias("id")))

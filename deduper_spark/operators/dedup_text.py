@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from deduper_spark.config import FuzzyConfig
 from deduper_spark.functions.keys import md5_key_expr
-from deduper_spark.functions.minhash import minhash_expr
+from deduper_spark.functions.minhash import minhash_buckets_expr, minhash_expr
 from deduper_spark.functions.simhash import simhash_expr
 from deduper_spark.functions.text import (
     normalize_expr,
@@ -24,7 +24,7 @@ from deduper_spark.functions.text import (
 )
 from deduper_spark.operators.exact import ExactDedupResult, exact_dedup
 from deduper_spark.operators.lsh import (
-    band_buckets,
+    array_band_buckets,
     candidate_pairs,
     hamming_candidate_pairs,
     int64_band_buckets,
@@ -74,10 +74,37 @@ def minhash_lsh_doc_pairs(df: DataFrame, id_col: str = "doc_id",
     flagship pipeline pins at pipeline.py fuzzy_ok (measured as the
     BENCH_r02 doc_minhash_lsh 2x regression)."""
     cfg = cfg or FuzzyConfig()
-    feats = doc_features(df, id_col, text_col, cfg,
-                         with_simhash=False).localCheckpoint()
-    bb = band_buckets(feats, "id", "minhash_sig", cfg.bands,
-                      cfg.rows_per_band, "minhash")
+    # r6 (guide §4.1/§2.3): banding is FUSED inside the minhash UDF
+    # (minhash_buckets_expr, the flagship pipeline's path) so the Arrow
+    # return payload is cfg.bands longs, not the num_perm-element
+    # signature (8x at 128/16), and the checkpointed feature row drops
+    # norm_text (dead downstream — banding reads the buckets, verify
+    # reads the shingle sets). Identical verified output: banding only
+    # gates CANDIDATES, and the exact-Jaccard verification is the
+    # output contract (same S-curve, bands x rows unchanged).
+    # tokens stays a bound column (NOT inlined into shingles_expr):
+    # the shingle transform lambda references its token array several
+    # times, and an inlined split/regex expression would re-evaluate
+    # per window position — O(tokens^2) normalize work per doc
+    # (measured 3x regression when inlined).
+    feats = (
+        df.select(
+            F.col(id_col).alias("id"),
+            tokens_expr(F.coalesce(F.col(text_col), F.lit(""))).alias("tokens"),
+        )
+        .withColumn(
+            "shingle_hashes",
+            shingle_hashes_expr(shingles_expr("tokens", cfg.shingle_k)),
+        )
+        .withColumn(
+            "minhash_buckets",
+            minhash_buckets_expr("shingle_hashes", cfg.num_perm,
+                                 cfg.bands, cfg.minhash_seed),
+        )
+        .select("id", "shingle_hashes", "minhash_buckets")
+        .localCheckpoint()
+    )
+    bb = array_band_buckets(feats, "id", "minhash_buckets", "minhash")
     pairs, _ = candidate_pairs(bb, cfg.max_bucket_size)
     return verify_jaccard(pairs, feats, "shingle_hashes",
                           cfg.jaccard_threshold).drop("families")
@@ -218,6 +245,8 @@ def minhash_doc_clusters(df: DataFrame, id_col: str = "doc_id",
         pairs.select("id_l", "id_r"),
         nodes=df.select(F.col(id_col).alias("id")),
         id_type=dict(df.dtypes)[id_col],
+        # verified pairs end in a groupBy(id_l, id_r) — already distinct
+        edges_distinct=True,
     )
     return comp.select(F.col("id").alias(id_col),
                        F.col("cluster_id").alias("cluster_id"))
@@ -300,19 +329,14 @@ def embedding_cosine_pairs(df: DataFrame, id_col: str = "vec_id",
             probe_masks,
         )
 
-        dim_row = base.select(F.size("v").alias("d")).limit(1).collect()
-        if not dim_row:  # empty input: no pairs, schema preserved
-            return base.sparkSession.createDataFrame(
-                [], base.select(
-                    F.col("id").alias("id_l"), F.col("id").alias("id_r"),
-                    F.lit(0.0).alias("cosine"),
-                ).schema
-            )
-        dim = dim_row[0]["d"]
         if n_tables is None:
             n_tables = lsh_tables_for_recall(threshold, n_planes,
                                              probe_radius, target_miss)
-        sigs = hyperplane_signatures_udf(dim, n_planes, n_tables, seed)
+        # dim inferred lazily inside the UDF (ann.py, r6): the former
+        # limit(1).collect() dim probe was a blocking driver job per
+        # call, and the empty-input special case it served is covered
+        # by the normal (empty) pair flow
+        sigs = hyperplane_signatures_udf(None, n_planes, n_tables, seed)
         # candidate generation on IDS ONLY (16 B/row through the bucket
         # join + pair dedupe); the 8 B x dim vectors join back by id
         # AFTER dedupe — never shuffled per-probe or per-duplicate-pair

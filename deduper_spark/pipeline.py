@@ -503,7 +503,9 @@ class DedupPipeline:
             spark, "edges", self.candidate_edges(spark, feats, df)
         )
         t_cc = time.time()
-        labeled = connected_components(edges, nodes=feats.select("id"))
+        # union_pairs ends in a groupBy(id_l, id_r): edges are distinct
+        labeled = connected_components(edges, nodes=feats.select("id"),
+                                       edges_distinct=True)
         self.metrics.append(
             {"stage": "cc_rounds", "sec": round(time.time() - t_cc, 3)}
         )
