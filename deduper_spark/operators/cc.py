@@ -117,7 +117,9 @@ def connected_components(
     ).where(F.col("src") != F.col("dst"))
     if not edges_distinct:
         e0 = e0.distinct()
-    e0 = e0.localCheckpoint()
+    # lazy: round 1's convergence aggregation materializes e0 together
+    # with the first rewire — one fewer job per call (r6)
+    e0 = e0.localCheckpoint(eager=False)
 
     # no up-front emptiness probe (r6): an empty edge set satisfies the
     # fixpoint test in round 0 at the cost of one trivial job, so the

@@ -164,12 +164,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     bit-for-bit while per-cell work is bounded by ~max_task_rows².
     Cold blocks (s <= max_task_rows) take the same path with n_sub=1
     — a single (0,0) cell, no row multiplication."""
+    # pinned (r6): feats feeds the sizing agg and both join sides — the
+    # normalize+shingle expression tree otherwise executes three times.
+    # Lazy checkpoint, materialized by the sizing aggregation.
     feats = (
         df.select(F.col(id_col).alias("id"), normalize_expr(text_col).alias("t"))
         .withColumn("toks", F.split("t", " "))
         .withColumn("block", F.array_join(F.slice("toks", 1, prefix_tokens), " "))
         .withColumn("grams", F.array_distinct(shingles_expr("toks", k)))
         .select("id", "block", "grams")
+        .localCheckpoint(eager=False)
     )
     sizes = feats.groupBy("block").agg(F.count("*").alias("block_size"))
     admitted = sizes.where(

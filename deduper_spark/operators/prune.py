@@ -211,13 +211,21 @@ def clean_text_corpus(
         lang_id_expr,
         quality_micro_expr,
     )
-    from deduper_spark.operators.exact import exact_dedup
 
     filtered = df.where(
         (lang_id_expr(text_col) == lang)
         & (quality_micro_expr(text_col) >= min_quality_micro)
     ).select(id_col, text_col)
-    survivors = exact_dedup(
-        filtered, (text_col,), order_col=id_col
-    ).survivors.select(id_col, text_col)
+    # exact keep-first inline (r6, guide §2.3): the working row here is
+    # exactly (id, text), so "first row per md5(text)" == "min id per
+    # text" — a partial-aggregating groupBy on the text itself. The
+    # former exact_dedup window plan md5'd every row and sorted both
+    # sides of its Exchange; this shuffles the same rows without the
+    # hash column or the sorts. Identical survivors (md5 is injective
+    # on text; the oracle recomputation is unchanged).
+    survivors = (
+        filtered.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
+    )
     return chunk_dedup(survivors, id_col, text_col, chunk_words)

@@ -122,7 +122,14 @@ def winnowed_substring_pairs(
                     vals.extend(f.tolist())
             yield pd.DataFrame({"id": ids, "fp": vals})
 
-    buckets = sel.mapInPandas(fps, schema="id string, fp long")
+    # pin the fingerprint pass (r6): buckets feeds the sizing agg AND
+    # both sides of the candidate self-join — unpinned, the Python
+    # winnow kernel ran three times end-to-end (measured ~1.2 s per
+    # pass at sf0.1). Lazy checkpoint: the sizing aggregation is the
+    # materializing action, no extra job.
+    buckets = sel.mapInPandas(
+        fps, schema="id string, fp long"
+    ).localCheckpoint(eager=False)
 
     sizes = buckets.groupBy("fp").agg(F.count("*").alias("n"))
     admitted = sizes.where((F.col("n") > 1) & (F.col("n") <= max_fp_bucket))

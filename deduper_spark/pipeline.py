@@ -93,9 +93,16 @@ class DedupPipeline:
             return None
         return os.path.join(cd, self.config.run_id, stage)
 
-    def _materialize(self, spark: SparkSession, stage: str, df: DataFrame) -> DataFrame:
+    def _materialize(self, spark: SparkSession, stage: str, df: DataFrame,
+                     lazy: bool = False) -> DataFrame:
         """Checkpoint a stage (resume if already written) + record metrics,
-        including per-partition row counts (lineage requirement)."""
+        including per-partition row counts (lineage requirement).
+
+        ``lazy=True`` (r6) defers materialization to the stage's first
+        consuming action — safe ONLY when that first action references
+        the stage exactly once (a multi-reference consumer would race
+        duplicate computation into the cache). Ignored when a
+        checkpoint_dir requires a durable parquet write."""
         path = self._ckpt_path(stage)
         t0 = time.time()
         if path:
@@ -114,7 +121,7 @@ class DedupPipeline:
             # once but READ by many consumers (the edges stage reads
             # features ~8 times) — columnar persist pays decompression
             # per read, measured slower end-to-end
-            out = df.localCheckpoint()
+            out = df.localCheckpoint(eager=not (lazy and not self.collect_metrics))
         entry: dict = {"stage": stage, "resumed": False,
                        "sec": round(time.time() - t0, 3)}
         if self.collect_metrics:
@@ -513,6 +520,10 @@ class DedupPipeline:
             spark,
             "clusters",
             labeled.select(F.col("id").alias("image_id"), "cluster_id"),
+            # the report's cstats aggregation below is the first action
+            # and references clusters exactly once — it materializes
+            # the checkpoint, saving a dedicated job (r6)
+            lazy=True,
         )
 
         survivor_ids = clusters.where(

@@ -41,6 +41,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE rewrite sort-merge joins to shuffled-hash when every
+        # post-shuffle partition's build side fits locally (guide §3.1:
+        # "often faster than sort-merge when one side is moderately
+        # small per partition" — skips both sort passes). 64 MB per
+        # partition is safely inside executor memory at any scale; the
+        # candidate self-joins and verify joins here are all bounded by
+        # the bucket caps, so the build sides stay small.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -69,6 +69,30 @@ def _digest(paths: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def _private_cache_dir(digest: str) -> str:
+    """User-private jar cache dir (0700, ownership-verified).
+
+    The previous location — a predictable path under the world-writable
+    tempfile.gettempdir() — let another local user pre-plant a jar that
+    ADD JAR would then load into the Spark JVM (r5 ADVICE). The cache
+    now lives under the invoking user's home, is created 0700, and is
+    rejected (falling back to a fresh mkdtemp) if it turns out to be
+    owned by someone else or group/world-accessible."""
+    base = os.path.join(os.path.expanduser("~"), ".cache", "deduper_spark")
+    cache = os.path.join(base, f"jvmudf_{digest}")
+    try:
+        os.makedirs(cache, mode=0o700, exist_ok=True)
+        os.chmod(cache, 0o700)  # makedirs mode is umask-filtered
+        st = os.stat(cache)
+        if st.st_uid != os.getuid():
+            raise OSError("cache dir owned by another user")
+        return cache
+    except OSError:
+        # untrusted or unusable home cache: private throwaway dir (the
+        # jar is rebuilt per process, which is only a compile-time cost)
+        return tempfile.mkdtemp(prefix="deduper_spark_jvmudf_")
+
+
 def build_jvm_udf_jar(force: bool = False) -> str | None:
     """Compile the packaged Java UDF sources into a cached jar (keyed
     by source digest — edits rebuild, repeat calls reuse). Returns the
@@ -79,8 +103,7 @@ def build_jvm_udf_jar(force: bool = False) -> str | None:
     srcs = _sources()
     if not srcs:
         return None
-    cache = os.path.join(tempfile.gettempdir(),
-                         f"deduper_spark_jvmudf_{_digest(srcs)}")
+    cache = _private_cache_dir(_digest(srcs))
     jar_path = os.path.join(cache, "udf.jar")
     if os.path.exists(jar_path) and not force:
         return jar_path
@@ -110,16 +133,25 @@ def register_jvm_decode_udfs(spark: SparkSession) -> bool:
     to the Python codecs). Idempotent per session."""
     from pyspark.sql.types import BinaryType
 
+    # per-session memo (r6): the seam is probed by every media operator
+    # call, and a repeat probe costs an ADD JAR + two registration RPCs
+    cached = getattr(spark, "_deduper_jvmudf_ok", None)
+    if cached is not None:
+        return cached
     try:
         jar = build_jvm_udf_jar()
     except (RuntimeError, OSError, subprocess.TimeoutExpired):
+        spark._deduper_jvmudf_ok = False
         return False
     if jar is None:
+        spark._deduper_jvmudf_ok = False
         return False
     try:
         spark.sql(f"ADD JAR 'file://{jar}'")
         for fn, cls in _UDF_CLASSES.items():
             spark.udf.registerJavaFunction(fn, cls, BinaryType())
     except Exception:  # noqa: BLE001 — capability probe, not a crash
+        spark._deduper_jvmudf_ok = False
         return False
+    spark._deduper_jvmudf_ok = True
     return True

@@ -228,8 +228,11 @@ def stream_fuzzy_dedup(
             # ONLY a genuinely absent or empty ledger is a first run;
             # corrupt or unreadable state must raise, not silently
             # disable dedup (same narrowing as pipeline._preload_seen)
-            if ledger_table is not None and "TABLE_OR_VIEW_NOT_FOUND" \
-                    in str(exc.getCondition() or ""):
+            # condition probe through the errors.py shim (r5 ADVICE:
+            # Spark 3.x has no getCondition — a direct call would
+            # AttributeError inside the handler)
+            if ledger_table is not None and absent_state(
+                    exc, ("TABLE_OR_VIEW_NOT_FOUND",)):
                 return None
             if not absent_state(exc, MISSING_OR_EMPTY_PATH):
                 raise
@@ -381,8 +384,14 @@ def stream_fuzzy_dedup(
                     s.read.table(ledger_table)
                     .where(F.col("batch_id") == batch_id)
                     .limit(1).count())
-            except AnalysisException:
-                pass                         # absent table: first batch
+            except AnalysisException as exc:
+                # absent table == first batch; any OTHER probe failure
+                # must raise — treating a transient/permission error as
+                # "absent" would double-append this batch's band rows
+                # on replay and undercount the sizes snapshot (r5
+                # ADVICE)
+                if not absent_state(exc, ("TABLE_OR_VIEW_NOT_FOUND",)):
+                    raise
             if not already:
                 (out_bands.write.mode("append")
                  .bucketBy(ledger_table_buckets, "band", "bucket")

@@ -45,7 +45,15 @@ def _fresh_vs_ledger(batch_df: DataFrame, ledger_dir: str,
             .select("hash")
         )
         return batch_df.join(ledger, "hash", "left_anti")
-    except AnalysisException:
+    except AnalysisException as exc:
+        # ONLY a genuinely absent/empty ledger is a first batch; any
+        # OTHER failure (corrupt ledger, permissions) must raise —
+        # treating it as first-batch would silently disable dedup
+        # (r5 ADVICE; same narrowing as streaming/fuzzy._read_ledger)
+        from deduper_spark.errors import MISSING_OR_EMPTY_PATH, absent_state
+
+        if not absent_state(exc, MISSING_OR_EMPTY_PATH):
+            raise
         return batch_df
 
 

@@ -121,7 +121,10 @@ def test_jvm_audio_foreign_au_decodes(spark, jvm_seam):
     samples = (rng.standard_normal((4000, 1)) * 8000).astype(np.int16)
     rows = [("au1", bytearray(_au_bytes(samples, 16000)))]
     df = spark.createDataFrame(rows, "audio_id string, bytes binary")
-    py = extract_audio_features(df, "audio_id", "bytes").collect()[0]
+    # explicit python backend: this assertion is ABOUT the python
+    # codec's rejection of the foreign container
+    py = extract_audio_features(df, "audio_id", "bytes",
+                                decode_backend="python").collect()[0]
     assert not py["decode_ok"]
     jv = extract_audio_features(df, "audio_id", "bytes",
                                 decode_backend="jvm").collect()[0]
@@ -217,3 +220,28 @@ def test_jvm_image_features_engine_parity_and_fallback(spark, jvm_seam):
     assert py == jv
     assert jv["dspk1"][0] is True            # fallback decoded it
     assert jv["bad"][0] is False             # poison isolates
+
+
+def test_auto_backend_resolves_and_matches(spark, jvm_seam):
+    """decode_backend="auto" routes to the JVM seam when it registers
+    (this host has javac) and produces the same audio features as an
+    explicit backend choice — the deploy-path probe-and-route contract
+    (r6)."""
+    from deduper_spark.operators.multimodal import (
+        extract_audio_features,
+        resolve_decode_backend,
+    )
+    from deduper_spark.synth import make_audio_pdf
+
+    df = spark.createDataFrame(make_audio_pdf(42, 4))
+    assert resolve_decode_backend(df, "python") == "python"
+    assert resolve_decode_backend(df, "jvm") == "jvm"
+    assert resolve_decode_backend(df, "auto") == "jvm"  # javac present
+    cols = ["sr", "channels", "n_samples", "afp"]
+    auto = {r["id"]: tuple(r[c] for c in cols) for r in
+            extract_audio_features(df, "audio_id", "bytes",
+                                   decode_backend="auto").collect()}
+    py = {r["id"]: tuple(r[c] for c in cols) for r in
+          extract_audio_features(df, "audio_id", "bytes",
+                                 decode_backend="python").collect()}
+    assert auto == py
