@@ -183,18 +183,15 @@ def hamming_candidate_pairs(
     dropped = sizes.where(F.col("bucket_size") > hard_cap)
 
     b = buckets.join(admitted.select(*key, "bucket_size"), key)
-    dist = F.bit_count(F.col("val_l").bitwiseXOR(F.col("val_r")))
     if hot_bucket_policy == "salt":
         # Cold buckets (the overwhelming majority) take this path too:
         # n_sub=1, u=0, a single (0,0) block — no row multiplication,
-        # and the join distribution on key+(bu,bv) equals the unsalted
-        # key distribution, so the only cost is per-row expression work
-        # (xxhash64 + one-element explode) inside the same codegen
-        # stage. A hot/cold split (direct join for cold, triangle for
-        # hot, union) was considered and declined: it doubles the join
-        # count and perturbs the plan for a constant-factor win the
-        # benches don't show (stage counts and wall time both improved
-        # when this replaced scalar salting).
+        # and the grouping distribution on key+(bu,bv) equals the
+        # unsalted key distribution, so the only cost is per-row
+        # expression work (xxhash64 + one-element explode) inside the
+        # same codegen stage. A hot/cold split was considered and
+        # declined: it doubles the plan for a constant-factor win the
+        # benches don't show.
         n_sub = F.ceil(F.col("bucket_size") / F.lit(max_bucket_size)) \
             .cast("int")
         b = (
@@ -214,41 +211,64 @@ def hamming_candidate_pairs(
                      F.explode(blocks).alias("blk")) \
              .select(*key, "id", "val", "max_ham", "u",
                      F.col("blk.bu").alias("bu"), F.col("blk.bv").alias("bv"))
-        jkey = key + ["bu", "bv"]
-        left = (b.where(F.col("u") == F.col("bu"))
-                .select(*jkey, F.col("id").alias("id_l"),
-                        F.col("val").alias("val_l"), "max_ham"))
-        right = (b.where(F.col("u") == F.col("bv"))
-                 .select(*jkey, F.col("id").alias("id_r"),
-                         F.col("val").alias("val_r")))
-        # diagonal blocks pair a sub-bucket with itself: dedup by id
-        # order. Cross blocks meet each pair exactly once by
-        # construction — id order there is canonicalized AFTER the join
-        # (a legit pair may arrive as id_l > id_r).
-        pair_filter = (F.col("bu") != F.col("bv")) | (
-            F.col("id_l") < F.col("id_r"))
     else:
-        b = b.drop("bucket_size")
-        jkey = key
-        left = b.select(*jkey, F.col("id").alias("id_l"),
-                        F.col("val").alias("val_l"), "max_ham")
-        right = b.select(*jkey, F.col("id").alias("id_r"),
-                         F.col("val").alias("val_r"))
-        pair_filter = F.col("id_l") < F.col("id_r")
+        # single (0,0) cell per bucket — the diagonal branch below
+        # enumerates its i<j pairs, identical to the former
+        # id_l < id_r self-join filter
+        b = (b.drop("bucket_size")
+             .withColumn("u", F.lit(0))
+             .withColumn("bu", F.lit(0))
+             .withColumn("bv", F.lit(0)))
+    jkey = key + ["bu", "bv"]
 
-    joined = (
-        left.join(right, jkey, "inner")
-        .where(pair_filter)
-        .where(dist <= F.col("max_ham"))
+    # Pair generation by GROUPING (r6, guide §2.4), mirroring
+    # candidate_pairs: each triangle cell collects its members —
+    # bounded by ~2x max_bucket_size by construction — and enumerates
+    # its pairs with nested array transforms INSIDE codegen, the exact
+    # Hamming predicate applied in the same expression. One hash
+    # Exchange (the groupBy) replaces the former self-join's two, the
+    # cell rows are evaluated once instead of once per join side, and
+    # false candidates still die before the pair-dedup shuffle.
+    # Diagonal cells (bu==bv) pair positions i<j — each unordered pair
+    # exactly once; cross cells pair the u==bu members against the
+    # u==bv members — disjoint sets, each pair once, orientation
+    # canonicalized by least/greatest exactly as the join did.
+    grp = b.groupBy(*jkey).agg(
+        F.collect_list(F.struct("id", "val", "u")).alias("ms"),
+        F.max("max_ham").alias("mh"),
     )
-    out_cols = [
-        F.least("id_l", "id_r").alias("id_l"),
-        F.greatest("id_l", "id_r").alias("id_r"),
-        "family",
-    ]
-    if with_distance:
-        out_cols.append(dist.alias("dist"))
-    joined = joined.select(*out_cols)
+
+    def _pair(lm, rm):
+        return F.struct(
+            F.least(lm["id"], rm["id"]).alias("id_l"),
+            F.greatest(lm["id"], rm["id"]).alias("id_r"),
+            F.bit_count(lm["val"].bitwiseXOR(rm["val"])).alias("dist"),
+        )
+
+    n = F.size("ms")
+    diag = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.transform(
+                F.slice("ms", i + F.lit(2), n - i - F.lit(1)),
+                lambda y: _pair(x, y),
+            ),
+        )
+    )
+    lefts = F.filter("ms", lambda m: m["u"] == F.col("bu"))
+    rights = F.filter("ms", lambda m: m["u"] == F.col("bv"))
+    cross = F.flatten(
+        F.transform(lefts, lambda lm: F.transform(rights,
+                                                  lambda rm: _pair(lm, rm)))
+    )
+    arr = F.filter(
+        F.when(F.col("bu") == F.col("bv"), diag).otherwise(cross),
+        lambda p: p["dist"] <= F.col("mh"),
+    )
+    joined = (
+        grp.select("family", F.explode(arr).alias("p"))
+        .select("p.id_l", "p.id_r", "family", "p.dist")
+    )
     aggs = [F.collect_set("family").alias("families")]
     if with_distance:
         aggs.append(F.min("dist").alias("dist"))
@@ -302,11 +322,30 @@ def candidate_pairs(
     else:
         b = b.drop("bucket_size")
 
-    left = b.select(*key, F.col("id").alias("id_l"))
-    right = b.select(*key, F.col("id").alias("id_r"))
+    # Pair generation by GROUPING, not self-joining (r6, guide §2.4):
+    # collect each (sub-)bucket's member ids — bounded by the caps, so
+    # the array is at most a few hundred elements — and emit the i<j
+    # pairs with a nested array transform inside codegen. One hash
+    # Exchange (the groupBy) replaces the former self-join's two
+    # exchanges, and the bucket rows are evaluated once instead of
+    # once per join side. Pair set is identical: position pairs i<j
+    # enumerate each unordered pair exactly once; least/greatest
+    # orients it (the join's id_l < id_r filter did the same).
+    grp = b.groupBy(*key).agg(F.collect_list("id").alias("ids"))
+    n = F.size("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), n - i - F.lit(1)),
+                lambda y: F.struct(F.least(x, y).alias("id_l"),
+                                   F.greatest(x, y).alias("id_r")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, key, "inner")
-        .where(F.col("id_l") < F.col("id_r"))
+        grp.select("family", F.explode(pair_structs).alias("p"))
+        .select("p.id_l", "p.id_r", "family")
         .groupBy("id_l", "id_r")
         .agg(F.collect_set("family").alias("families"))
     )
