@@ -26,6 +26,44 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread_if_large(spark, sf_dir: str, name: str, df: DataFrame,
+                     min_bytes: int = 2_000_000) -> DataFrame:
+    """Scale-adaptive round-robin repartition after an unsplittable read.
+
+    The driver's tables are ONE parquet file with ONE row group, so a
+    scan is ONE task no matter what the split math says (row groups
+    are the split granularity) — and everything before the first
+    Exchange runs on one core. Guide §2.5: "input skew: one huge
+    unsplittable file ... repartition immediately after the read".
+
+    Measured trade-off (r6): at sf0.1 (0.6 MB of documents) the extra
+    exchange + codegen costs MORE on a single-shot run than the ~1 s
+    of single-task winnow/shingle work it parallelizes (fresh-process
+    A/B: substring 5.0-5.7 s unspread vs 5.9-6.3 s spread), while at
+    10x the single-task pass is ~12 s and the spread wins by an order
+    of magnitude. So the repartition fires only when the layout is
+    actually unsplit (fewer files than half the cores) AND the bytes
+    are large enough to dominate the fixed cost — adaptive in data
+    size, not tuned to either the local box or one SF. Applied only
+    where the pre-exchange work is heavy per byte (winnow mapInPandas,
+    n-gram shingle arrays); a blanket version in _t was a measured net
+    loss for the cheap relational scans. Row-set outputs are
+    partitioning-independent, so results are unchanged."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        files = [os.path.join(path, f) for f in os.listdir(path)
+                 if f.endswith(".parquet")]
+    else:
+        files = [path]
+    par = spark.sparkContext.defaultParallelism
+    if (len(files) < max(par // 2, 2)
+            and sum(os.path.getsize(f) for f in files) >= min_bytes):
+        return df.repartition(par)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # flagship: full image near-dup pipeline on the deterministic synthetic
 # corpus (BASELINE.json input_hint shape)
@@ -249,7 +287,7 @@ def q_doc_ngram_jaccard(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz extra tail token")).alias("text"),
     )
-    aug = d.unionByName(near)
+    aug = _spread_if_large(spark, sf_dir, "documents", d.unionByName(near))
     return (
         ngram_jaccard_pairs(aug, "doc_id", "text", k=3, prefix_tokens=5,
                             threshold=0.3)
@@ -418,7 +456,7 @@ def q_doc_fuzzy_survivors(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz extra tail token")).alias("text"),
     )
-    aug = d.unionByName(near)
+    aug = _spread_if_large(spark, sf_dir, "documents", d.unionByName(near))
     pairs = ngram_jaccard_pairs(aug, "doc_id", "text", k=3, prefix_tokens=5,
                                 threshold=0.3)
     return drop_near_duplicates(aug.select("doc_id"), pairs, "doc_id").select(
@@ -579,7 +617,8 @@ def q_doc_substring_sa(spark, sf_dir):
         F.concat(F.lit("prefix words here "), F.col("text"),
                  F.lit(" and trailing words")).alias("text"),
     )
-    aug = d.unionByName(wrapped).select(
+    aug = _spread_if_large(spark, sf_dir, "documents",
+                           d.unionByName(wrapped)).select(
         F.col("doc_id").cast("string").alias("id"),
         F.lower(F.col("text")).alias("norm_caption"),
     )

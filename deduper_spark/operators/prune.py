@@ -114,11 +114,16 @@ def chunk_dedup(
     ORIGINAL id (second Exchange, narrow rows).
     """
     ex = chunk_explode(df, id_col, text_col, chunk_words)
-    first = Window.partitionBy("chunk").orderBy("id", "ci")
+    # keep-first as min-of-struct (r6, guide §2.3): (id, ci) is unique
+    # per chunk occurrence, so the lexicographic struct minimum IS the
+    # row_number()=1 row of the former ORDER BY (id, ci) window — but
+    # as a partial-aggregating HashAggregate (map-side min per chunk)
+    # instead of a window with a sort on both sides of its Exchange.
     kept = (
-        ex.withColumn("rn", F.row_number().over(first))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        ex.groupBy("chunk")
+        .agg(F.min(F.struct("id", "ci", "n_chunks")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.ci").alias("ci"),
+                "chunk", F.col("w.n_chunks").alias("n_chunks"))
     )
     return reassemble_chunks(kept, id_col)
 

@@ -227,10 +227,15 @@ class DedupPipeline:
 
         if "exact" in self.families:
             # star edges to the group min — connectivity-equivalent to
-            # all O(g^2) intra-group pairs at linear cost
-            gmin = feats.groupBy("exact_hash").agg(F.min("id").alias("gmin"))
+            # all O(g^2) intra-group pairs at linear cost. Group min as
+            # a window aggregate over the hash (r6, guide §2.4): one
+            # Exchange instead of the former groupBy + join pair.
+            from pyspark.sql import Window
+
+            gmin = F.min("id").over(Window.partitionBy("exact_hash"))
             exact_edges = (
-                feats.join(gmin, "exact_hash")
+                feats.select("exact_hash", "id")
+                .withColumn("gmin", gmin)
                 .where(F.col("id") != F.col("gmin"))
                 .select(
                     F.col("gmin").alias("id_l"),
