@@ -27,7 +27,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _spread_if_large(spark, sf_dir: str, name: str, df: DataFrame,
-                     min_bytes: int = 2_000_000) -> DataFrame:
+                     min_bytes: int = 2_000_000,
+                     barrier: bool = False) -> DataFrame:
     """Scale-adaptive round-robin repartition after an unsplittable read.
 
     The driver's tables are ONE parquet file with ONE row group, so a
@@ -60,7 +61,20 @@ def _spread_if_large(spark, sf_dir: str, name: str, df: DataFrame,
     par = spark.sparkContext.defaultParallelism
     if (len(files) < max(par // 2, 2)
             and sum(os.path.getsize(f) for f in files) >= min_bytes):
-        return df.repartition(par)
+        out = df.repartition(par)
+        if barrier:
+            # consumers whose FIRST operation is a deterministic
+            # filter need a lineage barrier: PushDownPredicates moves
+            # such a filter through the Repartition back into the
+            # single scan task, re-serializing exactly the work the
+            # spread was bought for (measured: clean_corpus's
+            # lang+quality filters stayed at 7.4 s single-task with a
+            # plain repartition, ~0.6 s behind the barrier). The lazy
+            # localCheckpoint materializes the spread rows at the
+            # consumer's first action; only fires on the same
+            # single-file-AND-large inputs as the spread itself.
+            out = out.localCheckpoint(eager=False)
+        return out
     return df
 
 
@@ -389,7 +403,7 @@ def q_doc_minhash_lsh(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
     )
-    aug = d.unionByName(near)
+    aug = _spread_if_large(spark, sf_dir, "documents", d.unionByName(near))
     cfg = FuzzyConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7)
     return minhash_lsh_doc_pairs(aug, "doc_id", "text", cfg).select(
         F.col("id_l").cast("long").alias("id_l"),
@@ -415,7 +429,8 @@ def q_doc_chunk_dedup(spark, sf_dir):
             F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " "),
             F.lit(" unique tail marker "), F.col("doc_id").cast("string"),
         ).alias("text"))
-    aug = d.unionByName(full).unionByName(half)
+    aug = _spread_if_large(spark, sf_dir, "documents",
+                           d.unionByName(full).unionByName(half))
     return chunk_dedup(aug, "doc_id", "text", chunk_words=10).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text_dedup", "n_chunks", "n_kept")
@@ -437,7 +452,7 @@ def q_doc_cluster_assign(spark, sf_dir):
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz extra tail")).alias("text"),
     )
-    aug = d.unionByName(near)
+    aug = _spread_if_large(spark, sf_dir, "documents", d.unionByName(near))
     cfg = FuzzyConfig(bands=32, rows_per_band=4, jaccard_threshold=0.7)
     return minhash_doc_clusters(aug, "doc_id", "text", cfg).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -481,7 +496,8 @@ def q_doc_tfidf_topk(spark, sf_dir):
     engine-independent)."""
     from deduper_spark.functions.textstats import tfidf_topk
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread_if_large(spark, sf_dir, "documents",
+                         _t(spark, sf_dir, "documents"))
     return tfidf_topk(d, "doc_id", "text", k=3).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "rank", "term", "score")
@@ -505,7 +521,9 @@ def q_clean_corpus(spark, sf_dir):
             F.array_join(F.slice(F.split(F.col("text"), " "), 1, 30), " "),
             F.lit(" unique tail marker "), F.col("doc_id").cast("string"),
         ).alias("text"))
-    aug = d.unionByName(full).unionByName(half)
+    aug = _spread_if_large(spark, sf_dir, "documents",
+                           d.unionByName(full).unionByName(half),
+                           barrier=True)
     return clean_text_corpus(aug).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "text_dedup", "n_chunks", "n_kept")
@@ -549,7 +567,7 @@ def q_doc_simhash(spark, sf_dir):
             F.array_sort(F.split(normalize_expr("text"), " ")), " "
         ).alias("text"),
     )
-    aug = d.unionByName(shuffled)
+    aug = _spread_if_large(spark, sf_dir, "documents", d.unionByName(shuffled))
     cfg = FuzzyConfig(simhash_hamming_threshold=0)
     cand = simhash_doc_pairs(aug, "doc_id", "text", cfg)
     keys = aug.select(

@@ -100,6 +100,26 @@ def int64_band_buckets(
     fingerprint and its verification threshold (16 extra bytes), which
     lets hamming_candidate_pairs evaluate the exact predicate inline in
     the self-join — see its docstring for why that matters at scale."""
+    fam0 = family if isinstance(family, Column) else F.lit(family)
+    if max_hamming == 0:
+        # Exact-fingerprint candidates (r6, guide §2.5 "skew — hot
+        # keys"): a pair at Hamming 0 has EQUAL fingerprints, so one
+        # full-width band — bucket := the value itself — catches it
+        # with recall 1.0 by definition, and bucket size equals the
+        # true dup-family size. Fixed-width sub-bands (4 x 16 bits)
+        # would flood here: the 2^16-value band space saturates once
+        # the corpus outgrows it and in-bucket comparisons grow
+        # quadratically (measured 27 s vs 2.5 s on doc_simhash at a
+        # 50k-doc corpus). Pair set is identical: the inline
+        # bit_count(xor) <= 0 predicate admits exactly the equal-value
+        # pairs under either banding.
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(bits_col).alias("val"),
+            fam0.alias("family"),
+            F.lit(0).alias("band"),
+            F.col(bits_col).alias("bucket"),
+        ).withColumn("max_ham", F.lit(0))
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     # static band count → unrolled expressions (stays in codegen; the

@@ -21,8 +21,8 @@ pair detection (operators/dedup_text.py):
 
 Everything here composes the existing verified-pair machinery; no new
 shuffles beyond the ones the pair generators already pay, plus one
-hash Exchange for chunk_dedup's keep-first (the same WindowGroupLimit
-plan shape as operators/exact.py — see PLANS.md §3).
+hash Exchange for chunk_dedup's keep-first (a partial-aggregating
+min-of-struct groupBy since r6 — see chunk_dedup's docstring).
 
 Generalizes the reference's keep-first survivor contract
 (Deduper.kt:181-199: first row wins, later hash matches are dupes) from

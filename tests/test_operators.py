@@ -98,3 +98,37 @@ def test_containment_pairs(spark):
     assert len(got) == 1
     assert (got[0]["id_l"], got[0]["id_r"]) == ("a", "b")
     assert got[0]["families"] == ["substring"]
+
+
+def test_int64_band_buckets_fullwidth_at_hamming_zero(spark):
+    """max_hamming=0 (r6): one full-width band — bucket IS the
+    fingerprint — and hamming_candidate_pairs emits exactly the
+    equal-fingerprint pairs the 16-bit banding found (identical pair
+    set, no 2^band_bits flood)."""
+    from deduper_spark.operators.lsh import hamming_candidate_pairs
+
+    vals = [0x0123456789ABCDEF, 0x0123456789ABCDEF,   # dup pair
+            0x0123456789ABCDEE,                       # hamming 1 — out
+            0x7777777777777777, 0x7777777777777777,   # dup pair
+            0x0000000000000000]
+    df = spark.createDataFrame(
+        [(f"r{i}", v) for i, v in enumerate(vals)], ["id", "fp"])
+
+    bb0 = int64_band_buckets(df, "id", "fp", band_bits=16, family="f",
+                             max_hamming=0)
+    # one bucket row per input row; bucket == the fingerprint value
+    rows = bb0.collect()
+    assert len(rows) == len(vals)
+    assert all(r["bucket"] == r["val"] for r in rows)
+    p0, _ = hamming_candidate_pairs(bb0)
+    got0 = {(r["id_l"], r["id_r"]) for r in p0.collect()}
+
+    # reference: the sliced banding at threshold 0 (pre-r6 shape) —
+    # emulated by banding at 16 bits with max_hamming forced to 0
+    bb16 = int64_band_buckets(df, "id", "fp", band_bits=16, family="f",
+                              max_hamming=1).withColumn(
+        "max_ham", F.lit(0))
+    p16, _ = hamming_candidate_pairs(bb16)
+    got16 = {(r["id_l"], r["id_r"]) for r in p16.collect()}
+
+    assert got0 == got16 == {("r0", "r1"), ("r3", "r4")}
