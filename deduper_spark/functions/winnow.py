@@ -31,6 +31,8 @@ import numpy as np
 from deduper_spark.functions.kernels import splitmix64_inplace
 
 _B = np.uint64(0x100000001B3)  # FNV-ish odd multiplier for the rolling poly
+# B is odd, hence invertible mod 2^64 — the prefix-poly trick below needs it
+_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
 
 
 def _codes(text: str) -> np.ndarray:
@@ -39,30 +41,61 @@ def _codes(text: str) -> np.ndarray:
     )
 
 
-def gram_hashes(codes: np.ndarray, k: int, chunk: int = 1 << 18) -> np.ndarray:
+def _gram_hashes_seg(codes: np.ndarray, k: int) -> np.ndarray:
+    """All k-gram hashes of one segment, O(1) work per position.
+
+    h[p] = sum_j codes[p+j] * B^(k-1-j)
+         = B^(p+k-1) * (T[p+k] - T[p]),   T[m] = sum_{j<m} codes[j]*B^(-j)
+
+    — five O(n) vector passes (cumprod, cumsum, two mults, a diff)
+    instead of the former k-wide windowed dot product (k mult-adds per
+    position). Exact mod-2^64 wraparound arithmetic throughout, so the
+    values are BIT-IDENTICAL to the windowed form (uint64 +/* are
+    associative mod 2^64 and B is invertible); pinned by
+    test_gram_hashes_matches_windowed_reference.
+    """
+    n = len(codes)
+    m = n - k + 1
+    with np.errstate(over="ignore"):
+        powinv = np.empty(n, dtype=np.uint64)
+        powinv[0] = np.uint64(1)
+        if n > 1:
+            np.cumprod(np.full(n - 1, _BINV, dtype=np.uint64),
+                       out=powinv[1:])
+        pref = np.empty(n + 1, dtype=np.uint64)
+        pref[0] = np.uint64(0)
+        np.cumsum(codes * powinv, out=pref[1:])
+        bk = np.uint64(1)
+        for _ in range(k - 1):
+            bk = bk * _B
+        powmul = np.empty(m, dtype=np.uint64)
+        powmul[0] = bk
+        if m > 1:
+            np.cumprod(np.full(m - 1, _B, dtype=np.uint64), out=powmul[1:])
+            powmul[1:] = powmul[1:] * bk
+        out = powmul * (pref[k:] - pref[:-k])
+        splitmix64_inplace(out)
+    return out
+
+
+def gram_hashes(codes: np.ndarray, k: int, chunk: int = 1 << 20) -> np.ndarray:
     """Polynomial hash of every k-gram (splitmix-finalized), vectorized.
 
-    h[p] = mix(sum_j codes[p+j] * B^(k-1-j) mod 2^64). Computed with a
-    sliding-window view multiplied by the power vector in bounded
-    chunks, so peak scratch memory stays ~chunk*k regardless of text
-    length (the prefix-poly recurrence would be O(n) sequential Python).
+    Computed by the O(1)-per-position prefix-poly form in bounded
+    segments (each segment's hashes depend only on its own chars, so
+    chunking = slicing with k-1 chars of overlap) — peak scratch stays
+    ~5*chunk*8 bytes regardless of text length.
     """
     n = len(codes)
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    powers = np.empty(k, dtype=np.uint64)
-    powers[-1] = np.uint64(1)
-    with np.errstate(over="ignore"):
-        for j in range(k - 2, -1, -1):
-            powers[j] = powers[j + 1] * _B
-        windows = np.lib.stride_tricks.sliding_window_view(codes, k)
-        out = np.empty(n - k + 1, dtype=np.uint64)
-        for lo in range(0, n - k + 1, chunk):
-            hi = min(lo + chunk, n - k + 1)
-            out[lo:hi] = (windows[lo:hi] * powers[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-        splitmix64_inplace(out)
+    m = n - k + 1
+    if m <= chunk:
+        return _gram_hashes_seg(codes, k)
+    out = np.empty(m, dtype=np.uint64)
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        out[lo:hi] = _gram_hashes_seg(codes[lo: hi + k - 1], k)
     return out
 
 
@@ -91,6 +124,63 @@ def winnow_fingerprints(text: str, min_len: int, k: int = 32) -> np.ndarray:
     gh = gram_hashes(codes, k)
     mins = np.lib.stride_tricks.sliding_window_view(gh, w).min(axis=1)
     return np.unique(mins).view(np.int64)
+
+
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def winnow_fingerprints_batch(
+    texts: "list[str]", min_len: int, k: int = 32,
+    max_group_chars: int = 1 << 21,
+) -> "list[np.ndarray]":
+    """``winnow_fingerprints`` for a whole Arrow batch at batch cost.
+
+    Eligible texts (len >= min_len) are concatenated into char-budgeted
+    groups and the gram-hash + sliding-min passes run ONCE per group;
+    each doc's results are slices of the group arrays. Values are
+    IDENTICAL to the per-doc function: a k-gram hash depends only on
+    its own k chars, and doc i's grams occupy group positions
+    [cs, cs + len_i - k] (never touching a neighbor), so slicing the
+    group's hash/min arrays at doc boundaries reproduces the per-doc
+    arrays exactly — windows that straddle two docs are computed but
+    discarded. Cuts the ~100 us/doc fixed numpy overhead (encode,
+    power setup, window views) to one slice + unique per doc; pinned
+    by test_winnow_batch_matches_per_doc.
+
+    ``max_group_chars`` bounds group scratch (~6 arrays * chars * 8 B);
+    a single text larger than the budget forms its own group and falls
+    back to gram_hashes' internal chunking.
+    """
+    w = min_len - k + 1
+    if w < 1:
+        raise ValueError(f"k ({k}) must be <= min_len ({min_len})")
+    out: "list[np.ndarray]" = [_EMPTY_I64] * len(texts)
+    group: "list[int]" = []
+    chars = 0
+
+    def flush() -> None:
+        nonlocal group, chars
+        if not group:
+            return
+        joined = "".join(texts[i] for i in group)
+        gh = gram_hashes(_codes(joined), k)
+        mins = np.lib.stride_tricks.sliding_window_view(gh, w).min(axis=1)
+        cs = 0
+        for i in group:
+            n = len(texts[i])
+            out[i] = np.unique(mins[cs: cs + n - min_len + 1]).view(np.int64)
+            cs += n
+        group, chars = [], 0
+
+    for i, t in enumerate(texts):
+        if len(t) < min_len:
+            continue
+        group.append(i)
+        chars += len(t)
+        if chars >= max_group_chars:
+            flush()
+    flush()
+    return out
 
 
 def batch_shares_substring(

@@ -111,12 +111,13 @@ def winnowed_substring_pairs(
     sel = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
 
     def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from deduper_spark.functions.winnow import winnow_fingerprints
+        from deduper_spark.functions.winnow import winnow_fingerprints_batch
 
         for pdf in batches:
+            texts = pdf["t"].fillna("").tolist()
+            per_doc = winnow_fingerprints_batch(texts, min_len, k)
             ids, vals = [], []
-            for i, t in zip(pdf["id"], pdf["t"].fillna("")):
-                f = winnow_fingerprints(t, min_len, k)
+            for i, f in zip(pdf["id"], per_doc):
                 if len(f):
                     ids.extend([i] * len(f))
                     vals.extend(f.tolist())

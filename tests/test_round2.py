@@ -105,6 +105,72 @@ def test_winnow_guarantee_and_exactness(substring_corpus):
     assert np.all(winnow_fingerprints("short", 45) == np.empty(0))
 
 
+def test_gram_hashes_matches_windowed_reference():
+    """The r6 prefix-poly gram hash (O(1)/position via the modular
+    inverse of B) must be BIT-identical to the definitional windowed
+    dot product mix(sum_j codes[p+j] * B^(k-1-j)), including across
+    internal chunk boundaries."""
+    import numpy as np
+
+    from deduper_spark.functions.kernels import splitmix64_inplace
+    from deduper_spark.functions.winnow import _B, _codes, gram_hashes
+
+    rng = np.random.default_rng(11)
+
+    def reference(codes, k):
+        n = len(codes)
+        if n < k:
+            return np.empty(0, dtype=np.uint64)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[-1] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(k - 2, -1, -1):
+                powers[j] = powers[j + 1] * _B
+            out = (
+                np.lib.stride_tricks.sliding_window_view(codes, k)
+                * powers[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            splitmix64_inplace(out)
+        return out
+
+    for n, k in [(0, 32), (10, 32), (32, 32), (33, 32), (500, 45),
+                 (4096, 32), (5000, 3)]:
+        codes = rng.integers(0, 1 << 20, size=n, dtype=np.uint64)
+        assert np.array_equal(gram_hashes(codes, k), reference(codes, k))
+    # chunk boundary: force several internal segments
+    codes = rng.integers(0, 1 << 20, size=1000, dtype=np.uint64)
+    assert np.array_equal(gram_hashes(codes, 32, chunk=100),
+                          reference(codes, 32))
+    # real text path
+    codes = _codes("the quick brown fox jumps over the lazy dog " * 40)
+    assert np.array_equal(gram_hashes(codes, 45), reference(codes, 45))
+
+
+def test_winnow_batch_matches_per_doc(substring_corpus):
+    """winnow_fingerprints_batch slices one concatenated group pass
+    into per-doc results — must equal the per-doc kernel exactly, for
+    every text, at any group budget (flush boundaries included)."""
+    import numpy as np
+
+    from deduper_spark.functions.winnow import (
+        winnow_fingerprints,
+        winnow_fingerprints_batch,
+    )
+
+    texts = list(substring_corpus.values())
+    texts += ["", "short", "x" * 44, "x" * 45, "y" * 46,
+              "übergröße-" * 10, "日本語テキスト" * 12]
+    ref = [winnow_fingerprints(t, 45) for t in texts]
+    for budget in (1 << 21, 500, 1):   # one group / multi-flush / per-doc
+        got = winnow_fingerprints_batch(texts, 45, max_group_chars=budget)
+        assert len(got) == len(ref)
+        for r, g in zip(ref, got):
+            assert np.array_equal(r, g)
+    assert winnow_fingerprints_batch([], 45) == []
+    with pytest.raises(ValueError):
+        winnow_fingerprints_batch(["abc"], 10, k=32)
+
+
 def test_winnowed_substring_pairs_operator(spark, substring_corpus):
     """Operator output == brute force, at ANY parallelism (no shards,
     no cross-shard recall gap — the round-1 SA pass's weak spot)."""
