@@ -54,13 +54,18 @@ def _safe_lists(hash_lists: pd.Series) -> list[np.ndarray]:
     ]
 
 
-def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
+def _minhash_matrix(hash_lists: pd.Series, num_perm: int,
+                    seed: int) -> np.ndarray:
+    """OPH signatures as one (n, num_perm) uint64 matrix — the shared
+    core of minhash_kernel and minhash_bucket_kernel (r6: the banding
+    kernel previously round-tripped the matrix through a per-row list
+    Series and re-stacked it; per-bucket minima are a scatter
+    np.minimum.at instead of a lexsort — ~2x on the kernel, values
+    identical since both are the same per-key min reduction)."""
     if num_perm & (num_perm - 1):
         raise ValueError("num_perm must be a power of two (OPH bucketing)")
     shift = np.uint64(64 - int(num_perm).bit_length() + 1)
     n = len(hash_lists)
-    if n == 0:
-        return pd.Series([], dtype=object)
     salt = salts(1, seed)[0]
     safe = _safe_lists(hash_lists)
     lens = np.array([len(v) for v in safe], dtype=np.int64)
@@ -71,12 +76,8 @@ def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series
         bucket = (flat >> shift).astype(np.int64)          # [0, num_perm)
         row = np.repeat(np.arange(n, dtype=np.int64), lens)
         key = row * num_perm + bucket
-        order = np.lexsort((flat, key))                    # by key, then value
-        k_sorted = key[order]
-        first = np.ones(len(k_sorted), dtype=bool)
-        first[1:] = k_sorted[1:] != k_sorted[:-1]
         sig = np.full(n * num_perm, _EMPTY, dtype=np.uint64)
-        sig[k_sorted[first]] = flat[order][first]
+        np.minimum.at(sig, key, flat)                      # min per bucket
         sig = sig.reshape(n, num_perm)
         # densification: empty buckets borrow cyclically (log-doubling) —
         # deterministic function of the set
@@ -87,6 +88,14 @@ def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series
             sig[empty] = donor[empty]
             s <<= 1
         sig[sig == _EMPTY] = np.uint64(0)
+    return sig
+
+
+def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
+    n = len(hash_lists)
+    if n == 0:
+        return pd.Series([], dtype=object)
+    sig = _minhash_matrix(hash_lists, num_perm, seed)
     return pd.Series(list(sig.astype(np.int64)))
 
 
@@ -150,14 +159,11 @@ def minhash_bucket_kernel(hash_lists: pd.Series, num_perm: int,
     Bucket = iterated splitmix64 over the band's signature slice —
     deterministic, full-width mixing; identical sets → identical
     buckets (the LSH contract)."""
-    sigs = minhash_kernel(hash_lists, num_perm, seed)
-    n = len(sigs)
+    n = len(hash_lists)
     if n == 0:
         return pd.Series([], dtype=object)
     rpb = num_perm // bands
-    m = np.stack([np.asarray(s, dtype=np.int64) for s in sigs]).astype(
-        np.uint64
-    ).reshape(n, bands, rpb)
+    m = _minhash_matrix(hash_lists, num_perm, seed).reshape(n, bands, rpb)
     with np.errstate(over="ignore"):
         acc = np.arange(bands, dtype=np.uint64)[None, :] + np.uint64(1)
         acc = np.broadcast_to(acc, (n, bands)).copy()

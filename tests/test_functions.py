@@ -77,6 +77,58 @@ def test_minhash_empty_set():
     assert len(sig[0]) == 16  # sentinel, not crash
 
 
+def test_minhash_matches_sort_reference():
+    """The r6 scatter-min (np.minimum.at) OPH core must be bit-identical
+    to the definitional per-bucket minimum computed by sorting."""
+    from deduper_spark.functions.kernels import (
+        _EMPTY,
+        salts,
+        splitmix64_inplace,
+    )
+
+    def reference(hash_lists, num_perm, seed):
+        shift = np.uint64(64 - int(num_perm).bit_length() + 1)
+        n = len(hash_lists)
+        salt = salts(1, seed)[0]
+        safe = [np.asarray(v, dtype=np.int64) if v is not None and len(v)
+                else np.zeros(1, dtype=np.int64) for v in hash_lists]
+        lens = np.array([len(v) for v in safe], dtype=np.int64)
+        flat = np.concatenate(safe).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            flat ^= salt
+            splitmix64_inplace(flat)
+            bucket = (flat >> shift).astype(np.int64)
+            key = np.repeat(np.arange(n, dtype=np.int64), lens) \
+                * num_perm + bucket
+            order = np.lexsort((flat, key))
+            k_sorted = key[order]
+            first = np.ones(len(k_sorted), dtype=bool)
+            first[1:] = k_sorted[1:] != k_sorted[:-1]
+            sig = np.full(n * num_perm, _EMPTY, dtype=np.uint64)
+            sig[k_sorted[first]] = flat[order][first]
+            sig = sig.reshape(n, num_perm)
+            s = 1
+            while s < num_perm and (sig == _EMPTY).any():
+                empty = sig == _EMPTY
+                donor = np.roll(sig, s, axis=1)
+                sig[empty] = donor[empty]
+                s <<= 1
+            sig[sig == _EMPTY] = np.uint64(0)
+        return pd.Series(list(sig.astype(np.int64)))
+
+    rng = np.random.default_rng(19)
+    lists = pd.Series(
+        [rng.integers(-(2**63), 2**63 - 1,
+                      size=int(rng.integers(1, 120))).astype(np.int64)
+         for _ in range(200)]
+        + [[], None, [5], [5, 5, 5]]
+    )
+    for num_perm in (16, 128):
+        got = minhash_kernel(lists, num_perm, seed=42)
+        want = reference(lists, num_perm, seed=42)
+        assert all(np.array_equal(a, b) for a, b in zip(want, got))
+
+
 # -------------------------------------------------------------- simhash
 
 def test_simhash_properties():
