@@ -54,6 +54,11 @@ def _safe_lists(hash_lists: pd.Series) -> list[np.ndarray]:
     ]
 
 
+def _check_num_perm(num_perm: int) -> None:
+    if num_perm & (num_perm - 1):
+        raise ValueError("num_perm must be a power of two (OPH bucketing)")
+
+
 def _minhash_matrix(hash_lists: pd.Series, num_perm: int,
                     seed: int) -> np.ndarray:
     """OPH signatures as one (n, num_perm) uint64 matrix — the shared
@@ -62,8 +67,7 @@ def _minhash_matrix(hash_lists: pd.Series, num_perm: int,
     Series and re-stacked it; per-bucket minima are a scatter
     np.minimum.at instead of a lexsort — ~2x on the kernel, values
     identical since both are the same per-key min reduction)."""
-    if num_perm & (num_perm - 1):
-        raise ValueError("num_perm must be a power of two (OPH bucketing)")
+    _check_num_perm(num_perm)
     shift = np.uint64(64 - int(num_perm).bit_length() + 1)
     n = len(hash_lists)
     salt = salts(1, seed)[0]
@@ -92,6 +96,7 @@ def _minhash_matrix(hash_lists: pd.Series, num_perm: int,
 
 
 def minhash_kernel(hash_lists: pd.Series, num_perm: int, seed: int) -> pd.Series:
+    _check_num_perm(num_perm)
     n = len(hash_lists)
     if n == 0:
         return pd.Series([], dtype=object)
@@ -159,6 +164,7 @@ def minhash_bucket_kernel(hash_lists: pd.Series, num_perm: int,
     Bucket = iterated splitmix64 over the band's signature slice —
     deterministic, full-width mixing; identical sets → identical
     buckets (the LSH contract)."""
+    _check_num_perm(num_perm)
     n = len(hash_lists)
     if n == 0:
         return pd.Series([], dtype=object)
